@@ -1,0 +1,741 @@
+"""Pure-Python JSON-LD 1.1 subset: expansion → RDF quads → n-quads →
+URDNA2015 canonicalization.
+
+The reference (gleanerio/gleaner) delegates this to piprate/json-gold
+(``internal/common/jld2nq.go:11-27``, ``internal/common/ldproc.go:25-65``,
+``internal/common/calcShaNorm.go:22-57``).  We re-implement the subset the
+pipeline actually exercises, matching json-gold's observable behaviour on
+the reference's own golden tests:
+
+* ``internal/common/testdata/ldproc_test.TestNormalizeTriple.*.approved.txt``
+  — URDNA2015 output, including json-gold's leniency quirks: a quad whose
+  *subject* expands to a relative IRI is dropped, while a relative IRI in
+  the *object* position (e.g. ``<bar>`` from ``"@type": "bar"``) is kept.
+* a doc with no usable context normalizes to ``""`` (properties that do
+  not expand to IRIs are dropped during expansion).
+
+Remote contexts: the reference preloads ``https?://schema.org/`` from
+local assets and never fetches from executors (``ldproc.go:31-58``).  The
+schema.org vocabulary file's own ``@context`` is just prefix mappings
+(no ``@vocab``), embedded below; all other remote context URLs raise,
+which marks the document invalid — the offline-executor behaviour.
+
+No Spark imports: this module is the per-document contract, unit-testable
+byte-for-byte (the reference's ``glcon tools rdf`` probe, ``pkg/cli/rdf.go``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+from itertools import permutations
+from typing import Any, NamedTuple
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
+RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+XSD_STRING = XSD + "string"
+XSD_BOOLEAN = XSD + "boolean"
+XSD_INTEGER = XSD + "integer"
+XSD_DOUBLE = XSD + "double"
+
+KEYWORDS = {
+    "@base", "@container", "@context", "@direction", "@graph", "@id",
+    "@import", "@included", "@index", "@json", "@language", "@list",
+    "@nest", "@none", "@prefix", "@propagate", "@protected", "@reverse",
+    "@set", "@type", "@value", "@version", "@vocab",
+}
+
+# The @context of schema.org's vocabulary file (prefix mappings only) —
+# what json-gold's cached loader resolves https?://schema.org/ to.
+SCHEMA_ORG_REMOTE_CONTEXT: dict[str, str] = {
+    "brick": "https://brickschema.org/schema/Brick#",
+    "csvw": "http://www.w3.org/ns/csvw#",
+    "dc": "http://purl.org/dc/elements/1.1/",
+    "dcam": "http://purl.org/dc/dcam/",
+    "dcat": "http://www.w3.org/ns/dcat#",
+    "dcmitype": "http://purl.org/dc/dcmitype/",
+    "dcterms": "http://purl.org/dc/terms/",
+    "doap": "http://usefulinc.com/ns/doap#",
+    "foaf": "http://xmlns.com/foaf/0.1/",
+    "geo": "http://www.opengis.net/ont/geosparql#",
+    "odrl": "http://www.w3.org/ns/odrl/2/",
+    "org": "http://www.w3.org/ns/org#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "prof": "http://www.w3.org/ns/dx/prof/",
+    "prov": "http://www.w3.org/ns/prov#",
+    "qb": "http://purl.org/linked-data/cube#",
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "schema": "https://schema.org/",
+    "sh": "http://www.w3.org/ns/shacl#",
+    "skos": "http://www.w3.org/2004/02/skos/core#",
+    "sosa": "http://www.w3.org/ns/sosa/",
+    "ssn": "http://www.w3.org/ns/ssn/",
+    "time": "http://www.w3.org/2006/time#",
+    "vann": "http://purl.org/vocab/vann/",
+    "void": "http://rdfs.org/ns/void#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+    "foo": "http://example.com/",
+}
+# 'foo' is not in the real file; drop it.
+SCHEMA_ORG_REMOTE_CONTEXT.pop("foo")
+
+_SCHEMA_ORG_URL_RE = re.compile(r"^https?://(www\.)?schema\.org/?$")
+
+
+class JsonLdError(ValueError):
+    """Document cannot be processed (invalid JSON-LD / unknown remote context)."""
+
+
+class Term(NamedTuple):
+    iri: str
+    type: str | None = None        # type coercion (@id, @vocab, or datatype IRI)
+    container: str | None = None   # @list / @set / ...
+    language: str | None = None
+
+
+class Context:
+    __slots__ = ("terms", "vocab", "base", "language")
+
+    def __init__(self, terms=None, vocab=None, base="", language=None):
+        self.terms: dict[str, Term] = terms or {}
+        self.vocab: str | None = vocab
+        self.base: str = base
+        self.language: str | None = language
+
+    def copy(self) -> "Context":
+        return Context(dict(self.terms), self.vocab, self.base, self.language)
+
+
+def _resolve_iri(base: str, rel: str) -> str:
+    """RFC3986-ish resolution; with an empty base (the pipeline default —
+    json-gold is given no document URL) the value passes through unchanged."""
+    if not base:
+        return rel
+    if ":" in rel.split("/")[0].split("?")[0].split("#")[0]:
+        return rel
+    from urllib.parse import urljoin
+
+    return urljoin(base, rel)
+
+
+def process_context(active: Context, local: Any) -> Context:
+    """Context-processing subset: strings (schema.org only), dicts, arrays."""
+    ctx = active.copy()
+    items = local if isinstance(local, list) else [local]
+    for item in items:
+        if item is None:
+            ctx = Context()
+            continue
+        if isinstance(item, str):
+            if _SCHEMA_ORG_URL_RE.match(item):
+                for pfx, iri in SCHEMA_ORG_REMOTE_CONTEXT.items():
+                    ctx.terms[pfx] = Term(iri)
+                continue
+            raise JsonLdError(f"cannot load remote context (offline): {item}")
+        if not isinstance(item, dict):
+            raise JsonLdError(f"invalid @context entry: {type(item)}")
+        if "@vocab" in item:
+            v = item["@vocab"]
+            ctx.vocab = v if isinstance(v, str) else None
+        if "@base" in item:
+            b = item["@base"]
+            ctx.base = b if isinstance(b, str) else ""
+        if "@language" in item:
+            lv = item["@language"]
+            ctx.language = lv if isinstance(lv, str) else None
+        for key, val in item.items():
+            if key in {"@vocab", "@base", "@language", "@version", "@propagate"}:
+                continue
+            if key in KEYWORDS:
+                continue
+            if val is None:
+                ctx.terms.pop(key, None)
+                ctx.terms[key] = Term("")  # explicit null: term is dropped
+                continue
+            if isinstance(val, str):
+                iri = _expand_iri_in_ctx(ctx, item, val)
+                ctx.terms[key] = Term(iri)
+            elif isinstance(val, dict):
+                tid = val.get("@id", key)
+                if tid is None:
+                    ctx.terms[key] = Term("")
+                    continue
+                iri = _expand_iri_in_ctx(ctx, item, tid)
+                ttype = val.get("@type")
+                if isinstance(ttype, str) and ttype not in {"@id", "@vocab", "@json", "@none"}:
+                    ttype = _expand_iri_in_ctx(ctx, item, ttype)
+                cont = val.get("@container")
+                if isinstance(cont, list):
+                    cont = cont[0] if cont else None
+                lang = val.get("@language")
+                ctx.terms[key] = Term(iri, ttype, cont, lang)
+    return ctx
+
+
+def _expand_iri_in_ctx(ctx: Context, local_ctx: dict, value: str) -> str:
+    """IRI expansion while building a context (handles fwd refs cheaply)."""
+    if value in KEYWORDS:
+        return value
+    if ":" in value:
+        prefix, suffix = value.split(":", 1)
+        if suffix.startswith("//") or prefix == "_":
+            return value
+        if prefix in local_ctx and isinstance(local_ctx[prefix], str):
+            return local_ctx[prefix] + suffix
+        if prefix in ctx.terms and ctx.terms[prefix].iri:
+            return ctx.terms[prefix].iri + suffix
+        return value
+    if value in local_ctx and isinstance(local_ctx[value], str) and local_ctx[value] != value:
+        return _expand_iri_in_ctx(ctx, {}, local_ctx[value])
+    if ctx.vocab:
+        return ctx.vocab + value
+    return value
+
+
+def expand_iri(ctx: Context, value: str, *, vocab: bool = False,
+               relative: bool = False) -> str | None:
+    """IRI expansion (matches json-gold's expandIri observable behaviour)."""
+    if value is None or value in KEYWORDS:
+        return value
+    if vocab and value in ctx.terms:
+        return ctx.terms[value].iri or None
+    if ":" in value:
+        prefix, suffix = value.split(":", 1)
+        if suffix.startswith("//") or prefix == "_":
+            return value
+        if prefix in ctx.terms and ctx.terms[prefix].iri:
+            return ctx.terms[prefix].iri + suffix
+        return value
+    if vocab and ctx.vocab:
+        return ctx.vocab + value
+    if relative:
+        return _resolve_iri(ctx.base, value)
+    return value
+
+
+# ---------------------------------------------------------------------------
+# Expansion
+# ---------------------------------------------------------------------------
+
+def _expand_value(ctx: Context, term: Term | None, value: Any) -> dict:
+    if term and term.type == "@id" and isinstance(value, str):
+        return {"@id": expand_iri(ctx, value, relative=True)}
+    if term and term.type == "@vocab" and isinstance(value, str):
+        return {"@id": expand_iri(ctx, value, vocab=True, relative=True)}
+    rv: dict[str, Any] = {"@value": value}
+    if term and term.type and term.type not in {"@id", "@vocab", "@json", "@none"}:
+        rv["@type"] = term.type
+    elif isinstance(value, str):
+        lang = term.language if (term and term.language is not None) else ctx.language
+        if lang:
+            rv["@language"] = lang
+    return rv
+
+
+def expand(element: Any, ctx: Context | None = None,
+           active_property: str | None = None) -> Any:
+    """JSON-LD expansion (subset).  Returns a list / dict / None."""
+    if ctx is None:
+        ctx = Context()
+
+    if element is None:
+        return None
+
+    if isinstance(element, (str, int, float, bool)):
+        if active_property is None or active_property == "@graph":
+            return None
+        term = ctx.terms.get(active_property)
+        return _expand_value(ctx, term, element)
+
+    if isinstance(element, list):
+        out = []
+        for item in element:
+            ex = expand(item, ctx, active_property)
+            if ex is None:
+                continue
+            if isinstance(ex, list):
+                out.extend(ex)
+            else:
+                out.append(ex)
+        return out
+
+    if not isinstance(element, dict):
+        return None
+
+    if "@context" in element:
+        ctx = process_context(ctx, element["@context"])
+
+    result: dict[str, Any] = {}
+    for key in sorted(element.keys()):
+        if key == "@context":
+            continue
+        value = element[key]
+        expanded_key = expand_iri(ctx, key, vocab=True)
+        if expanded_key is None or (expanded_key not in KEYWORDS and ":" not in expanded_key):
+            continue  # non-IRI property: dropped (json-gold behaviour)
+
+        if expanded_key == "@id":
+            if isinstance(value, str):
+                result["@id"] = expand_iri(ctx, value, relative=True)
+            continue
+        if expanded_key == "@type":
+            vals = value if isinstance(value, list) else [value]
+            types = [expand_iri(ctx, v, vocab=True, relative=True)
+                     for v in vals if isinstance(v, str)]
+            result["@type"] = [t for t in types if t]
+            continue
+        if expanded_key == "@graph":
+            ex = expand(value, ctx, "@graph")
+            if ex is None:
+                ex = []
+            result["@graph"] = ex if isinstance(ex, list) else [ex]
+            continue
+        if expanded_key == "@value":
+            result["@value"] = value
+            continue
+        if expanded_key == "@language":
+            if isinstance(value, str):
+                result["@language"] = value.lower()
+            continue
+        if expanded_key == "@list":
+            items = expand(value, ctx, active_property)
+            if items is None:
+                items = []
+            result.setdefault("@list_holder", []).append(
+                {"@list": items if isinstance(items, list) else [items]})
+            continue
+        if expanded_key == "@set":
+            ex = expand(value, ctx, active_property)
+            if ex is not None:
+                result.setdefault("@set_holder", []).extend(
+                    ex if isinstance(ex, list) else [ex])
+            continue
+        if expanded_key in {"@index", "@reverse", "@nest", "@included"}:
+            continue  # outside supported subset; dropped
+        if expanded_key in KEYWORDS:
+            continue
+
+        term = ctx.terms.get(key)
+        ex = expand(value, ctx, key)
+        if ex is None:
+            continue
+        if term and term.container == "@list" and not (
+                isinstance(ex, dict) and "@list" in ex):
+            ex = {"@list": ex if isinstance(ex, list) else [ex]}
+        exlist = ex if isinstance(ex, list) else [ex]
+        if exlist or isinstance(ex, list):
+            result.setdefault(expanded_key, []).extend(exlist)
+
+    # unwrap the holders used above for direct @list/@set keys
+    if "@list_holder" in result:
+        lst = result.pop("@list_holder")[0]
+        if set(result) <= {"@index"}:
+            return lst
+    if "@set_holder" in result:
+        items = result.pop("@set_holder")
+        if not result:
+            return items
+
+    if "@value" in result:
+        v = result["@value"]
+        if v is None:
+            return None
+        keep = {k: result[k] for k in ("@value", "@type", "@language", "@index")
+                if k in result}
+        if not isinstance(v, str):
+            keep.pop("@language", None)
+        return keep
+
+    if "@graph" in result and set(result) <= {"@graph", "@id", "@index"}:
+        if "@id" not in result:
+            # anonymous top-level @graph: contents merge into current output
+            return result["@graph"]
+
+    if active_property is None and not result:
+        return None
+    # drop free-floating @value-less nodes with nothing but @language etc.
+    return result
+
+
+# ---------------------------------------------------------------------------
+# RDF quads
+# ---------------------------------------------------------------------------
+
+class RdfTerm(NamedTuple):
+    kind: str              # 'iri' | 'blank' | 'literal'
+    value: str
+    datatype: str | None = None
+    language: str | None = None
+
+
+class Quad(NamedTuple):
+    s: RdfTerm
+    p: RdfTerm
+    o: RdfTerm
+    g: RdfTerm | None = None
+
+
+def _canonical_double(value: float) -> str:
+    m = f"{value:.15E}"
+    mant, _, exp = m.partition("E")
+    mant = mant.rstrip("0")
+    if mant.endswith("."):
+        mant += "0"
+    exp_i = int(exp)
+    return f"{mant}E{exp_i}"
+
+
+class _BlankIssuer:
+    def __init__(self, prefix: str = "_:b"):
+        self.prefix = prefix
+        self.counter = 0
+        self.issued: dict[str, str] = {}
+        self.order: list[str] = []
+
+    def issue(self, old: str | None = None) -> str:
+        if old is not None and old in self.issued:
+            return self.issued[old]
+        new = f"{self.prefix}{self.counter}"
+        self.counter += 1
+        if old is not None:
+            self.issued[old] = new
+            self.order.append(old)
+        return new
+
+
+def _literal_to_term(vobj: dict) -> RdfTerm:
+    v = vobj.get("@value")
+    dt = vobj.get("@type")
+    lang = vobj.get("@language")
+    if isinstance(v, bool):
+        sv = "true" if v else "false"
+        return RdfTerm("literal", sv, dt or XSD_BOOLEAN)
+    if isinstance(v, float) or dt == XSD_DOUBLE or (
+            isinstance(v, (int, float)) and dt not in (None, XSD_INTEGER)
+            and dt == XSD_DOUBLE):
+        if isinstance(v, (int, float)) and (isinstance(v, float) or dt == XSD_DOUBLE):
+            return RdfTerm("literal", _canonical_double(float(v)), dt or XSD_DOUBLE)
+    if isinstance(v, int) and not isinstance(v, bool):
+        return RdfTerm("literal", str(v), dt or XSD_INTEGER)
+    sv = v if isinstance(v, str) else json.dumps(v)
+    if lang:
+        return RdfTerm("literal", sv, RDF_LANGSTRING, lang)
+    return RdfTerm("literal", sv, dt or XSD_STRING)
+
+
+def _node_id_term(node: dict, issuer: _BlankIssuer) -> RdfTerm:
+    nid = node.get("@id")
+    if nid is None:
+        label = issuer.issue(f"anon:{id(node)}")
+        node["@id"] = label  # stabilize within this run
+        return RdfTerm("blank", label)
+    if nid.startswith("_:"):
+        return RdfTerm("blank", issuer.issue(nid))
+    return RdfTerm("iri", nid)
+
+
+def _emit_node(node: dict, graph: RdfTerm | None, quads: list[Quad],
+               issuer: _BlankIssuer) -> RdfTerm | None:
+    """Emit quads for one expanded node object; return its subject term."""
+    if "@value" in node:
+        return None
+    if "@list" in node:
+        return _emit_list(node["@list"], graph, quads, issuer)
+
+    subj = _node_id_term(node, issuer)
+
+    for t in node.get("@type", []):
+        if t:
+            quads.append(Quad(subj, RdfTerm("iri", RDF_TYPE), RdfTerm("iri", t), graph))
+
+    for prop in sorted(k for k in node if not k.startswith("@")):
+        pred = RdfTerm("iri", prop)
+        for v in node[prop]:
+            ot = _object_term(v, graph, quads, issuer)
+            if ot is not None:
+                quads.append(Quad(subj, pred, ot, graph))
+
+    if "@graph" in node:
+        gname = subj if subj.kind in {"iri", "blank"} else None
+        for child in node["@graph"]:
+            if isinstance(child, dict):
+                _emit_node(child, gname, quads, issuer)
+    return subj
+
+
+def _emit_list(items: list, graph: RdfTerm | None, quads: list[Quad],
+               issuer: _BlankIssuer) -> RdfTerm:
+    head: RdfTerm = RdfTerm("iri", RDF_NIL)
+    terms = []
+    for it in items:
+        ot = _object_term(it, graph, quads, issuer)
+        if ot is not None:
+            terms.append(ot)
+    for ot in reversed(terms):
+        node = RdfTerm("blank", issuer.issue())
+        quads.append(Quad(node, RdfTerm("iri", RDF_FIRST), ot, graph))
+        quads.append(Quad(node, RdfTerm("iri", RDF_REST), head, graph))
+        head = node
+    return head
+
+
+def _object_term(v: Any, graph, quads, issuer) -> RdfTerm | None:
+    if not isinstance(v, dict):
+        return None
+    if "@value" in v:
+        return _literal_to_term(v)
+    if "@list" in v:
+        return _emit_list(v["@list"], graph, quads, issuer)
+    return _emit_node(v, graph, quads, issuer)
+
+
+def to_rdf(doc: Any) -> list[Quad]:
+    """Expanded-document → RDF quads, with json-gold's leniency quirks:
+    relative *subject* IRIs drop the quad; relative predicate IRIs drop the
+    quad; relative *object* IRIs are kept verbatim (golden
+    ``ldproc_test.TestNormalizeTriple.noContextSimple``: ``<bar>``)."""
+    expanded = expand(doc)
+    if expanded is None:
+        expanded = []
+    if isinstance(expanded, dict):
+        expanded = [expanded]
+    quads: list[Quad] = []
+    issuer = _BlankIssuer()
+    for node in expanded:
+        if isinstance(node, dict):
+            _emit_node(node, None, quads, issuer)
+
+    out: list[Quad] = []
+    seen = set()
+    for q in quads:
+        if q.s.kind == "iri" and ":" not in q.s.value:
+            continue  # relative subject: dropped
+        if q.p.kind != "iri" or ":" not in q.p.value:
+            continue
+        if q.o.kind == "iri" and not q.o.value:
+            continue
+        if q not in seen:
+            seen.add(q)
+            out.append(q)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# N-Quads serialization
+# ---------------------------------------------------------------------------
+
+_ESCAPES = [("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")]
+
+
+def _escape(s: str) -> str:
+    for a, b in _ESCAPES:
+        s = s.replace(a, b)
+    return s
+
+
+def term_to_nq(t: RdfTerm) -> str:
+    if t.kind == "iri":
+        return f"<{t.value}>"
+    if t.kind == "blank":
+        return t.value
+    lit = f'"{_escape(t.value)}"'
+    if t.language:
+        return f"{lit}@{t.language}"
+    if t.datatype and t.datatype != XSD_STRING:
+        return f"{lit}^^<{t.datatype}>"
+    return lit
+
+
+def quad_to_nq(q: Quad) -> str:
+    parts = [term_to_nq(q.s), term_to_nq(q.p), term_to_nq(q.o)]
+    if q.g is not None:
+        parts.append(term_to_nq(q.g))
+    return " ".join(parts) + " ."
+
+
+def serialize_nquads(quads: list[Quad]) -> str:
+    return "".join(quad_to_nq(q) + "\n" for q in quads)
+
+
+# ---------------------------------------------------------------------------
+# URDNA2015 (RDF Dataset Canonicalization)
+# ---------------------------------------------------------------------------
+
+def _quad_nq_for_hash(q: Quad, ref: str, mapped: dict[str, str] | None = None) -> str:
+    def render(t: RdfTerm | None, is_graph=False) -> str:
+        if t is None:
+            return ""
+        if t.kind == "blank":
+            if mapped is not None:
+                return mapped.get(t.value, t.value)
+            return "_:a" if t.value == ref else "_:z"
+        return term_to_nq(t)
+
+    parts = [render(q.s), term_to_nq(q.p), render(q.o)]
+    if q.g is not None:
+        parts.append(render(q.g, True))
+    return " ".join(parts) + " ."
+
+
+def _hash_first_degree(bnode: str, quads: list[Quad]) -> str:
+    lines = sorted(_quad_nq_for_hash(q, bnode) + "\n" for q in quads)
+    return hashlib.sha256("".join(lines).encode("utf-8")).hexdigest()
+
+
+class _CanonIssuer:
+    def __init__(self, prefix="_:c14n"):
+        self.prefix = prefix
+        self.counter = 0
+        self.issued: dict[str, str] = {}
+        self.order: list[str] = []
+
+    def issue(self, old: str) -> str:
+        if old in self.issued:
+            return self.issued[old]
+        new = f"{self.prefix}{self.counter}"
+        self.counter += 1
+        self.issued[old] = new
+        self.order.append(old)
+        return new
+
+    def copy(self):
+        c = _CanonIssuer(self.prefix)
+        c.counter = self.counter
+        c.issued = dict(self.issued)
+        c.order = list(self.order)
+        return c
+
+
+def _hash_related(related: str, q: Quad, issuer: _CanonIssuer,
+                  canon: _CanonIssuer, position: str,
+                  f1d: dict[str, str]) -> str:
+    inp = position
+    if position != "g":
+        inp += f"<{q.p.value}>"
+    if related in canon.issued:
+        inp += canon.issued[related]
+    elif related in issuer.issued:
+        inp += issuer.issued[related]
+    else:
+        inp += f1d[related]
+    return hashlib.sha256(inp.encode("utf-8")).hexdigest()
+
+
+def _hash_n_degree(bnode: str, bnode_quads: dict[str, list[Quad]],
+                   canon: _CanonIssuer, issuer: _CanonIssuer,
+                   f1d: dict[str, str]) -> tuple[str, _CanonIssuer]:
+    hash_to_related: dict[str, list[str]] = {}
+    for q in bnode_quads[bnode]:
+        for t, pos in ((q.s, "s"), (q.o, "o"), (q.g, "g")):
+            if t is not None and t.kind == "blank" and t.value != bnode:
+                h = _hash_related(t.value, q, issuer, canon, pos, f1d)
+                hash_to_related.setdefault(h, []).append(t.value)
+
+    data = ""
+    for related_hash in sorted(hash_to_related):
+        data += related_hash
+        chosen_path = ""
+        chosen_issuer = None
+        blist = hash_to_related[related_hash]
+        for perm in permutations(sorted(set(blist)), len(set(blist))):
+            issuer_copy = issuer.copy()
+            path = ""
+            recursion: list[str] = []
+            skip = False
+            for related in perm:
+                if related in canon.issued:
+                    path += canon.issued[related]
+                else:
+                    if related not in issuer_copy.issued:
+                        recursion.append(related)
+                    path += issuer_copy.issue(related)
+                if chosen_path and len(path) >= len(chosen_path) and path > chosen_path:
+                    skip = True
+                    break
+            if skip:
+                continue
+            for related in recursion:
+                rhash, rissuer = _hash_n_degree(
+                    related, bnode_quads, canon, issuer_copy, f1d)
+                path += issuer_copy.issue(related)
+                path += f"<{rhash}>"
+                issuer_copy = rissuer
+                if chosen_path and len(path) >= len(chosen_path) and path > chosen_path:
+                    skip = True
+                    break
+            if skip:
+                continue
+            if not chosen_path or path < chosen_path:
+                chosen_path = path
+                chosen_issuer = issuer_copy
+        data += chosen_path
+        if chosen_issuer is not None:
+            issuer = chosen_issuer
+    return hashlib.sha256(data.encode("utf-8")).hexdigest(), issuer
+
+
+def urdna2015(quads: list[Quad]) -> str:
+    """Canonicalize a dataset; returns sorted canonical n-quads text."""
+    bnode_quads: dict[str, list[Quad]] = {}
+    for q in quads:
+        for t in (q.s, q.o, q.g):
+            if t is not None and t.kind == "blank":
+                bnode_quads.setdefault(t.value, []).append(q)
+
+    canon = _CanonIssuer()
+    f1d = {b: _hash_first_degree(b, qs) for b, qs in bnode_quads.items()}
+
+    hash_groups: dict[str, list[str]] = {}
+    for b, h in f1d.items():
+        hash_groups.setdefault(h, []).append(b)
+
+    non_unique: list[str] = []
+    for h in sorted(hash_groups):
+        group = hash_groups[h]
+        if len(group) == 1:
+            canon.issue(group[0])
+        else:
+            non_unique.extend(group)
+
+    if non_unique:
+        remaining = [b for b in non_unique if b not in canon.issued]
+        results = []
+        for b in remaining:
+            issuer = _CanonIssuer("_:b")
+            issuer.issue(b)
+            h, iss = _hash_n_degree(b, bnode_quads, canon, issuer, f1d)
+            results.append((h, iss))
+        for h, iss in sorted(results, key=lambda x: x[0]):
+            for old in iss.order:
+                if old not in canon.issued:
+                    canon.issue(old)
+
+    mapped = canon.issued
+    lines = sorted(
+        _quad_nq_for_hash(q, "", mapped) + "\n"
+        for q in _dedup_canonical(quads, mapped)
+    )
+    return "".join(lines)
+
+
+def _dedup_canonical(quads: list[Quad], mapped: dict[str, str]):
+    seen = set()
+    for q in quads:
+        key = _quad_nq_for_hash(q, "", mapped)
+        if key not in seen:
+            seen.add(key)
+            yield q
+
+
+def normalize(doc: Any) -> str:
+    """URDNA2015-normalized n-quads of a JSON-LD document (parsed dict or
+    JSON string) — ``proc.Normalize`` parity (``calcShaNorm.go:40-45``)."""
+    if isinstance(doc, (str, bytes)):
+        doc = json.loads(doc)
+    return urdna2015(to_rdf(doc))
