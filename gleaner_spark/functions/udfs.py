@@ -1,0 +1,119 @@
+"""Vectorized pandas-UDF wrappers around the pure per-document core.
+
+The only Python-side compute in the whole pipeline lives in these three
+UDFs (extraction, normalize+identify, mill) — everything else is JVM-side
+column expressions.  Each wraps the identical code object the unit tests
+exercise (``gleaner_spark.core``), so per-document semantics are testable
+without Spark (the reference's ``glcon tools rdf`` probe pattern,
+pkg/cli/rdf.go).
+
+Arrow batching notes: html pages are large, so batch size is bounded via
+``spark.sql.execution.arrow.maxRecordsPerBatch`` (session.py); the UDFs
+are stateless pure functions → safe under speculative execution and
+task retry.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core import extract as core_extract
+from ..core import ids as core_ids
+from ..core import mill as core_mill
+from ..core.contextfix import fix_all
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_jsonld_udf(html: pd.Series, url: pd.Series) -> pd.Series:
+    """html binary + url → array of raw JSON-LD strings (P1, S1).
+
+    Byte-identity contract: each array element is the verbatim script-tag
+    inner text (or the verbatim body for .json/.jsonld URLs)."""
+
+    def one(h, u):
+        if h is None:
+            return []
+        s = bytes(h).decode("utf-8", errors="replace")
+        return core_extract.extract_jsonld_strings(s, u or "")
+
+    return pd.Series([one(h, u) for h, u in zip(html, url)])
+
+
+PROCESS_SCHEMA = T.StructType(
+    [
+        T.StructField("jsonld_fixed", T.StringType()),
+        T.StructField("valid", T.BooleanType()),
+        T.StructField("error", T.StringType()),
+        T.StructField("doc_sha1", T.StringType()),
+        T.StructField("id_type", T.StringType()),
+        T.StructField("matched_path", T.StringType()),
+        T.StructField("json_sha", T.StringType()),
+        T.StructField("norm_sha256", T.StringType()),
+        T.StructField("raw_sha1", T.StringType()),
+    ]
+)
+
+
+@F.pandas_udf(PROCESS_SCHEMA)
+def process_doc_udf(
+    jsonld: pd.Series,
+    fix_option: pd.Series,
+    identifier_type: pd.Series,
+    identifier_path: pd.Series,
+) -> pd.DataFrame:
+    """Fix-ups (P3-P7) + validity (P2) + identifier cascade (H1-H4) +
+    north-rule sha256 graph id, in one Arrow batch pass."""
+    rows = []
+    for raw, fix_opt, id_type, id_path in zip(
+        jsonld, fix_option, identifier_type, identifier_path
+    ):
+        raw_sha1 = core_ids.get_sha(raw)
+        try:
+            fixed = fix_all(raw, fix_opt or "https")
+            ident = core_ids.generate_identifier(
+                fixed, id_type or "jsonsha", id_path or ""
+            )
+            if ident.error:
+                raise ValueError(ident.error)
+            norm256 = core_ids.norm_sha256(fixed)
+            rows.append(
+                (fixed, True, None, ident.unique_id, ident.identifier_type,
+                 ident.matched_path, ident.json_sha, norm256, raw_sha1)
+            )
+        except Exception as e:  # invalid JSON / JSON-LD → filtered, like isValid
+            rows.append((raw, False, f"{type(e).__name__}: {e}", None, None,
+                         None, None, None, raw_sha1))
+    return pd.DataFrame(
+        rows, columns=[f.name for f in PROCESS_SCHEMA.fields]
+    )
+
+
+QUAD_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("subject", T.StringType()),
+            T.StructField("predicate", T.StringType()),
+            T.StructField("object", T.StringType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(QUAD_SCHEMA)
+def mill_udf(jsonld: pd.Series, doc_sha: pd.Series) -> pd.Series:
+    """JSON-LD → serialized (s, p, o) triples with deterministic
+    per-document blank-node skolemization (R1-R3).  The graph URN is a
+    plain column expression added by the caller."""
+
+    def one(doc, sha):
+        try:
+            return [
+                (r.subject, r.predicate, r.object)
+                for r in core_mill.mill(doc, sha or "", "")
+            ]
+        except Exception:
+            return []
+
+    return pd.Series([one(d, s) for d, s in zip(jsonld, doc_sha)])

@@ -1,0 +1,270 @@
+"""Entity linking & canonicalization (S4 — the north-rule stage the
+reference defers to downstream tools).
+
+Pipeline: entity mentions (subjects with a schema:name) → char-3-gram
+shingles → md5-MinHash signature → banded LSH bucketing → candidate
+pairs within buckets → exact Jaccard verification → connected
+components (GraphFrames-style iterative self-join with localCheckpoint)
+→ sameAs map → subject/object rewrite of the triples relation.
+
+Everything through pair generation is JVM-side column expressions
+(md5 / transform / array_min — no Python), so the expensive part scales
+with executors.  Skew guards: LSH buckets are capped (a stop-word-ish
+name shared by millions of entities would otherwise go quadratic) and
+the CC joins run under AQE skew handling.
+
+Determinism: md5 is seeded by band index, candidate pairs are ordered
+(a < b), CC converges to the component-minimum label — output is
+independent of partitioning and parallelism level, which the N-vs-4N
+scaling evidence requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SCHEMA_NAME_PRED = "<https://schema.org/name>"
+RDF_TYPE_PRED = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+
+NUM_HASHES = 16
+# band size 2 → 8 bands: P(candidate) = 1-(1-s²)⁸ ≈ 0.999 at s = 0.75,
+# so LSH recall is not the bottleneck; exact Jaccard verification prunes.
+BAND_SIZE = 2
+JACCARD_THRESHOLD = 0.7
+MAX_BUCKET = 64          # LSH bucket cap: quadratic-blowup guard
+MAX_CC_ITERATIONS = 20
+
+LINKABLE_TYPES = ("<https://schema.org/Organization>",)
+
+
+def entity_mentions(
+    triples: DataFrame, types: tuple[str, ...] = LINKABLE_TYPES
+) -> DataFrame:
+    """(entity, graph, name) for every subject of a linkable type that
+    carries a schema:name.  The type restriction keeps near-identical
+    *labels* of genuinely distinct entities (dataset titles differing by
+    a serial number) out of the linker; the literal is unquoted from its
+    n-quads serialization."""
+    named = (
+        triples.filter(F.col("predicate") == SCHEMA_NAME_PRED)
+        .select(
+            F.col("subject").alias("entity"),
+            F.col("graph").alias("graph"),
+            F.regexp_replace(
+                F.regexp_extract(F.col("object"), r'^"(.*)"$', 1),
+                r'\\(["\\])', r"$1",
+            ).alias("name"),
+        )
+        .filter(F.length("name") > 0)
+    )
+    if not types:
+        return named
+    typed = (
+        triples.filter(
+            (F.col("predicate") == RDF_TYPE_PRED)
+            & F.col("object").isin(list(types))
+        )
+        .select(F.col("subject").alias("entity"))
+        .distinct()
+    )
+    return named.join(typed, "entity", "left_semi")
+
+
+def with_shingles(entities: DataFrame) -> DataFrame:
+    """Distinct char-3-gram shingles of the normalized name — pure column
+    expressions (F.transform over a sequence), no UDF."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("name")), r"[^a-z0-9]+", " "))
+    return (
+        entities.withColumn("name_norm", norm)
+        .withColumn(
+            "shingles",
+            F.expr(
+                "array_distinct(transform(sequence(1, greatest(length(name_norm) - 2, 1)),"
+                " x -> substring(name_norm, x, 3)))"
+            ),
+        )
+        # digit tokens are discriminative identifiers ("Survey 01" vs
+        # "Survey 02" are distinct no matter how similar the prose is):
+        # candidate pairs must agree on them exactly
+        .withColumn(
+            "digit_tokens",
+            F.array_sort(F.expr(
+                r"filter(split(name_norm, ' '), t -> t rlike '^[0-9]+$')"
+            )),
+        )
+        .filter(F.size("shingles") > 0)
+    )
+
+
+def with_minhash(entities: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """md5-MinHash signature: sig[i] = min over shingles of
+    md5(i || ':' || shingle).  Hex-min == numeric-min on the uniform md5
+    space; md5 keeps Spark SQL, DuckDB oracles and the pure-Python core
+    (core/text.py) bit-identical."""
+    return entities.withColumn(
+        "minhash",
+        F.expr(
+            f"transform(sequence(0, {num_hashes - 1}),"
+            " i -> array_min(transform(shingles,"
+            " s -> md5(concat(cast(i as string), ':', s)))))"
+        ),
+    )
+
+
+def lsh_candidate_pairs(
+    entities: DataFrame,
+    band_size: int = BAND_SIZE,
+    threshold: float = JACCARD_THRESHOLD,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Banded LSH → pairwise candidates within buckets → exact Jaccard
+    verification.  One shuffle on the band key, one self-join per band
+    bucket (buckets are capped), one semi-join back for verification."""
+    sig = with_minhash(with_shingles(entities))
+    ent = sig.select("entity", "shingles", "digit_tokens", "minhash").dropDuplicates(
+        ["entity"]
+    )
+
+    n_bands = NUM_HASHES // band_size
+    bands = ent.select(
+        "entity", "shingles", "digit_tokens",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}),"
+                f" b -> concat_ws('|', slice(minhash, b * {band_size} + 1,"
+                f" {band_size})))"
+            )
+        ).alias("band_idx", "band_key"),
+    ).withColumn("bucket", F.concat_ws("#", "band_idx", "band_key"))
+
+    # cap pathological buckets (stopword-ish names) — logged, not silent
+    counts = bands.groupBy("bucket").agg(F.count("*").alias("n"))
+    bands = bands.join(
+        counts.filter(F.col("n") <= max_bucket).select("bucket"), "bucket",
+        "left_semi",
+    )
+
+    left = bands.select(F.col("bucket"),
+                        F.col("entity").alias("a"),
+                        F.col("shingles").alias("sh_a"),
+                        F.col("digit_tokens").alias("dt_a"))
+    right = bands.select(F.col("bucket"),
+                         F.col("entity").alias("b"),
+                         F.col("shingles").alias("sh_b"),
+                         F.col("digit_tokens").alias("dt_b"))
+    pairs = (
+        left.join(right, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .filter(F.col("dt_a") == F.col("dt_b"))
+        .select("a", "b", "sh_a", "sh_b")
+        .dropDuplicates(["a", "b"])
+    )
+    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        pairs.withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iterations: int = MAX_CC_ITERATIONS,
+) -> DataFrame:
+    """Iterative min-label propagation: label(v) ← min(label(v),
+    min(label(neighbours))) until fixpoint.  Each iteration is one
+    shuffle join; ``localCheckpoint`` truncates lineage so 20 iterations
+    do not build a 20-deep plan (SURVEY.md §4's custom-work item (b)).
+
+    Returns (entity, component) with component = min entity id in the
+    component — deterministic regardless of partitioning.
+    """
+    spark = edges.sparkSession
+    sym = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+    )
+    if vertices is None:
+        vertices = sym.select(F.col("src").alias("entity")).distinct()
+    labels = vertices.select("entity", F.col("entity").alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.entity, "inner")
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.entity == neighbor_min.src, "left")
+            .select(
+                "entity",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_component", F.col("component")),
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "entity")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def sameas_map(triples: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """(entity, canonical) for every linked entity whose canonical id
+    differs — the rewrite map."""
+    mentions = entity_mentions(triples)
+    edges = lsh_candidate_pairs(mentions, threshold=threshold)
+    components = connected_components(edges)
+    return components.filter(F.col("entity") != F.col("component")).select(
+        "entity", F.col("component").alias("canonical")
+    )
+
+
+def canonicalize_triples(triples: DataFrame, sameas: DataFrame) -> DataFrame:
+    """Rewrite subject/object through the sameAs map (two left joins —
+    broadcast when small, sort-merge otherwise; AQE decides)."""
+    s_map = sameas.select(F.col("entity").alias("subject"),
+                          F.col("canonical").alias("subject_canon"))
+    o_map = sameas.select(F.col("entity").alias("object"),
+                          F.col("canonical").alias("object_canon"))
+    return (
+        triples.join(s_map, "subject", "left")
+        .join(o_map, "object", "left")
+        .select(
+            F.coalesce("subject_canon", "subject").alias("subject"),
+            "predicate",
+            F.coalesce("object_canon", "object").alias("object"),
+            "graph",
+            "source",
+        )
+    )
+
+
+def link_stage(triples: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """S4 wrapper: compute the sameAs map and canonicalize, appending
+    owl:sameAs triples that record the link decisions."""
+    sameas = sameas_map(triples, threshold)
+    canon = canonicalize_triples(triples, sameas)
+    sameas_triples = sameas.select(
+        F.col("entity").alias("subject"),
+        F.lit("<http://www.w3.org/2002/07/owl#sameAs>").alias("predicate"),
+        F.col("canonical").alias("object"),
+        F.lit("urn:gleaner:link:sameas").alias("graph"),
+        F.lit("_link").alias("source"),
+    )
+    return canon.unionByName(sameas_triples)

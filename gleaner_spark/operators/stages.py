@@ -1,0 +1,181 @@
+"""The core pipeline stages as DataFrame transformations.
+
+Stage graph (SURVEY.md §7):
+
+    pages → extract (S1/P1) → normalize+identify (S2/P2-P7,H1-H4, dedup J5)
+          → mill (S3/R1-R3) → [link (S4)] → materialize (S5)
+
+Each stage is a pure DataFrame→DataFrame function; persistence +
+manifests live in ``plans.pipeline``.  All joins against the sources
+dimension are broadcast (the reference's only join shape, J1/J2 —
+``config/sources.go:237-244``).
+
+Scale notes: the extract/normalize/mill hot path is narrow (no shuffle)
+— parallelism comes from input partitions; the only shuffles before
+linking are the salted repartition (skew) and the doc_sha dedup (J5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.udfs import extract_jsonld_udf, mill_udf, process_doc_udf
+
+DEFAULT_BUCKET = "gleaner"
+
+
+def url_host(col):
+    """url → host, the page↔source key (P8-flavoured cleanup included)."""
+    return F.lower(F.regexp_extract(F.trim(col), r"^[a-z]+://([^/]+)", 1))
+
+
+def with_source(pages: DataFrame, sources_dim: DataFrame | None) -> DataFrame:
+    """Broadcast-join the sources dimension by host (J1).  Pages without
+    a matching active source keep NULL config → defaults downstream.
+    Mirrors GetSourceByName linear scans (sources.go:237-244) as the one
+    dimension lookup."""
+    pages = pages.withColumn("host", url_host(F.col("url")))
+    if sources_dim is None:
+        return (
+            pages.withColumn("source", F.col("host"))
+            .withColumn("identifiertype", F.lit("jsonsha"))
+            .withColumn("identifierpath", F.lit(""))
+            .withColumn("fixcontextoption", F.lit("https"))
+        )
+    dim = sources_dim.filter(F.col("active"))  # P9 active-source filter
+    dim = dim.select(
+        F.col("domain").alias("host"),
+        F.col("name").alias("source"),
+        "propername", "pid", "identifiertype", "identifierpath",
+        "fixcontextoption",
+    )
+    joined = pages.join(F.broadcast(dim), "host", "left")
+    return (
+        joined.withColumn("source", F.coalesce("source", "host"))
+        .withColumn("identifiertype", F.coalesce("identifiertype", F.lit("jsonsha")))
+        .withColumn("identifierpath", F.coalesce("identifierpath", F.lit("")))
+        .withColumn(
+            "fixcontextoption", F.coalesce("fixcontextoption", F.lit("https"))
+        )
+    )
+
+
+def salted_repartition(pages: DataFrame, partitions: int, salt: int = 8) -> DataFrame:
+    """Skew guard for mega-domains (graphng.go:99-101's large-object
+    worry, re-expressed for Spark): spread each host over ``salt``
+    sub-keys so one 40%-of-the-web domain cannot pin a single task."""
+    return pages.repartition(
+        partitions,
+        F.concat_ws("#", F.col("host"), F.pmod(F.xxhash64("url"), F.lit(salt))),
+    )
+
+
+def extract_stage(pages_with_source: DataFrame) -> DataFrame:
+    """S1: html → exploded candidate JSON-LD strings.
+
+    Keeps zero-block pages as block_idx = -1 / jsonld NULL rows so the
+    visit is recorded (the reference's ``NILL:`` KV bookkeeping,
+    acquire.go:187-191) — metrics and the checkpoint manifest need them;
+    downstream stages filter them out.
+    """
+    extracted = pages_with_source.withColumn(
+        "jsonlds", extract_jsonld_udf(F.col("html"), F.col("url"))
+    )
+    cols = ["url", "warc_ts", "source", "host", "lang",
+            "identifiertype", "identifierpath", "fixcontextoption"]
+    exploded = (
+        extracted.select(
+            *cols,
+            F.posexplode_outer("jsonlds").alias("block_idx", "jsonld"),
+        )
+        .withColumn("block_idx", F.coalesce("block_idx", F.lit(-1)))
+    )
+    return exploded
+
+
+def normalize_stage(blocks: DataFrame) -> DataFrame:
+    """S2: fix-ups + validity + identifiers.  Output: one row per
+    candidate block with parity columns; ``valid`` rows carry doc ids."""
+    present = blocks.filter(F.col("jsonld").isNotNull())
+    processed = present.withColumn(
+        "proc",
+        process_doc_udf(
+            F.col("jsonld"),
+            F.col("fixcontextoption"),
+            F.col("identifiertype"),
+            F.col("identifierpath"),
+        ),
+    )
+    return processed.select(
+        "url", "warc_ts", "source", "host", "lang", "block_idx", "jsonld",
+        F.col("proc.jsonld_fixed").alias("jsonld_fixed"),
+        F.col("proc.valid").alias("valid"),
+        F.col("proc.error").alias("error"),
+        F.col("proc.doc_sha1").alias("doc_sha1"),
+        F.col("proc.id_type").alias("id_type"),
+        F.col("proc.matched_path").alias("matched_path"),
+        F.col("proc.json_sha").alias("json_sha"),
+        F.col("proc.norm_sha256").alias("norm_sha256"),
+        F.col("proc.raw_sha1").alias("raw_sha1"),
+    )
+
+
+def dedup_docs(docs: DataFrame) -> DataFrame:
+    """J5: content dedup.  The reference gets this implicitly from
+    object naming (summoned/{source}/{sha}.jsonld overwrites); we make it
+    explicit and deterministic — keep the lexicographically smallest
+    (url, block_idx) per doc_sha1 so results are partitioning-independent.
+    One shuffle on doc_sha1 with map-side partial aggregation."""
+    valid = docs.filter(F.col("valid"))
+    keyed = valid.withColumn(
+        "dedup_rank",
+        F.struct(F.col("url"), F.col("block_idx")),
+    )
+    best = (
+        keyed.groupBy("doc_sha1")
+        .agg(F.min("dedup_rank").alias("keep"))
+        .select(
+            "doc_sha1",
+            F.col("keep.url").alias("url"),
+            F.col("keep.block_idx").alias("block_idx"),
+        )
+    )
+    return valid.join(best, ["doc_sha1", "url", "block_idx"], "left_semi")
+
+
+def mill_stage(docs: DataFrame, bucket: str = DEFAULT_BUCKET) -> DataFrame:
+    """S3: docs → (subject, predicate, object, graph) rows.
+
+    Graph URN ``urn:{bucket}:{source}:{sha}`` (prov.go:96) — sha is the
+    north-rule SHA-256 of the normalized doc; ``doc_sha1`` stays on the
+    docs table for reference parity."""
+    milled = docs.withColumn(
+        "quads", mill_udf(F.col("jsonld_fixed"), F.col("doc_sha1"))
+    )
+    return (
+        milled.select(
+            "source", "doc_sha1", "norm_sha256",
+            F.explode("quads").alias("q"),
+        )
+        .select(
+            F.col("q.subject").alias("subject"),
+            F.col("q.predicate").alias("predicate"),
+            F.col("q.object").alias("object"),
+            F.concat_ws(
+                ":", F.lit("urn"), F.lit(bucket), F.col("source"),
+                F.col("norm_sha256"),
+            ).alias("graph"),
+            "source",
+        )
+    )
+
+
+def materialize_triples(triples: DataFrame) -> DataFrame:
+    """S5: final (subject, predicate, object, graph) relation, distinct
+    within graph, deterministically ordered for export (the reference's
+    PipeCopy concat order is unspecified listing order, pipecopy.go:15-81;
+    we sort — an intentional determinism improvement, SURVEY.md J9)."""
+    return (
+        triples.select("subject", "predicate", "object", "graph", "source")
+        .dropDuplicates(["graph", "subject", "predicate", "object"])
+    )

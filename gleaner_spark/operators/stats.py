@@ -1,0 +1,31 @@
+"""Run statistics (J6) — the reference's mutex-guarded counter map
+(``internal/common/stats.go:9-93``: Count / Summoned / Stored / Issues /
+EmptyDoc / StoreError / HttpError per source) re-expressed as one
+aggregation over the blocks/docs tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def run_stats(blocks: DataFrame, docs: DataFrame) -> DataFrame:
+    """Per-source counters.  ``blocks`` is the extract-stage output
+    (block_idx = -1 marks a no-JSON-LD page visit), ``docs`` the
+    normalize-stage output (valid flag + dedup info)."""
+    page_counts = blocks.groupBy("source").agg(
+        F.countDistinct("url").alias("count"),
+        F.count(F.when(F.col("block_idx") >= 0, 1)).alias("summoned"),
+        F.countDistinct(
+            F.when(F.col("block_idx") == -1, F.col("url"))
+        ).alias("empty_doc"),
+    )
+    doc_counts = docs.groupBy("source").agg(
+        F.count(F.when(F.col("valid"), 1)).alias("stored"),
+        F.count(F.when(~F.col("valid"), 1)).alias("issues"),
+    )
+    return (
+        page_counts.join(doc_counts, "source", "left")
+        .na.fill(0, ["stored", "issues"])
+        .select("source", "count", "summoned", "stored", "issues", "empty_doc")
+    )

@@ -1,0 +1,249 @@
+"""Deterministic synthetic Common-Crawl-style page corpus.
+
+Input-table shape mandated by BASELINE.json ``input_hint``:
+``(url string, warc_ts timestamp, html binary, text string, lang string)``.
+
+Everything is a pure function of the row index ``i`` (seeded md5, fixed
+epoch — no wall clock), so the corpus is byte-identical across runs,
+partitionings and parallelism levels: the property the P/R, resume and
+N-vs-4N scaling tests all rest on.
+
+Row-class mix per 100 rows (FIXTURES.md §1): 60 one-jsonld, 10
+multi-jsonld, 10 no-jsonld, 5 invalid-JSON, 5 raw-JSON body, 10
+duplicate-content.  Host distribution is Zipf-like with one mega-domain
+holding ~40% of rows — the skew the salted repartition + AQE skew-join
+path exists for.  Document variants mirror the reference's test corpora
+(string/array/short-url contexts, relative @id, no-context,
+blank-node-rich docs) plus entity-dupe Organization mentions with known
+gold clusters for the MinHash-LSH + connected-components stage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from datetime import datetime, timedelta, timezone
+from typing import Iterator
+
+EPOCH = datetime(2024, 10, 16, tzinfo=timezone.utc)
+
+N_HOSTS = 20
+HOSTS = [f"site{h:02d}.example.org" for h in range(N_HOSTS)]
+
+# gold entity clusters: alias spellings of the same organization that the
+# linking stage must unify (cluster id = index in this list)
+ORG_CLUSTERS: list[list[str]] = [
+    ["ACME Research Institute", "ACME Research Inst.", "acme research institute"],
+    ["Ocean Data Consortium", "Ocean Data Consortium Inc", "ocean data consortium"],
+    ["Polar Science Center", "Polar Science Centre", "The Polar Science Center"],
+    ["Global Geo Survey", "Global Geo-Survey", "global geo survey"],
+    ["River Basin Observatory", "River Basin Observ.", "river basin observatory"],
+]
+
+LANGS = ["en"] * 9 + ["es", "de", ""]
+
+
+def _u(i: int, salt: str) -> float:
+    """Deterministic uniform [0,1) from (seed=42, i, salt)."""
+    h = hashlib.md5(f"42:{salt}:{i}".encode()).digest()
+    return int.from_bytes(h[:8], "big") / 2**64
+
+
+def host_for(i: int) -> str:
+    """Zipf(~1.2)-flavoured host pick: host 0 is the ~40% mega-domain."""
+    u = _u(i, "host")
+    if u < 0.40:
+        return HOSTS[0]
+    # remaining 60% over hosts 1..19 with 1/h weights
+    weights = [1.0 / h for h in range(1, N_HOSTS)]
+    total = sum(weights)
+    x = (u - 0.40) / 0.60 * total
+    acc = 0.0
+    for h, w in enumerate(weights, start=1):
+        acc += w
+        if x < acc:
+            return HOSTS[h]
+    return HOSTS[-1]
+
+
+def row_class(i: int) -> str:
+    m = i % 100
+    if m < 60:
+        return "one"
+    if m < 70:
+        return "multi"
+    if m < 80:
+        return "none"
+    if m < 85:
+        return "invalid"
+    if m < 90:
+        return "rawjson"
+    return "dup"
+
+
+def org_mention(i: int) -> tuple[str, int]:
+    """(alias string, gold cluster id) for row i."""
+    cluster = i % len(ORG_CLUSTERS)
+    alias = ORG_CLUSTERS[cluster][(i // len(ORG_CLUSTERS)) % 3]
+    return alias, cluster
+
+
+def dataset_doc(i: int, host: str) -> dict:
+    """The workhorse schema.org Dataset doc; context variant rotates
+    through the reference's fix-up cases."""
+    alias, _ = org_mention(i)
+    doc = {
+        "@id": f"https://{host}/id/dataset/{i}",
+        "@type": "Dataset",
+        "name": f"Synthetic dataset {i}",
+        "description": f"Deterministic record {i} from {host}",
+        "identifier": {
+            "@type": "PropertyValue",
+            "propertyID": "https://registry.identifiers.org/registry/doi",
+            "value": f"doi:10.5555/synthetic.{i}",
+        },
+        "publisher": {"@type": "Organization", "name": alias},
+    }
+    variant = i % 6
+    if variant == 0:
+        doc["@context"] = "https://schema.org/"
+    elif variant == 1:
+        doc["@context"] = "http://schema.org"  # short/no-slash/http → url fix
+    elif variant == 2:
+        doc["@context"] = ["https://schema.org/",
+                           {"dct": "http://purl.org/dc/terms/"}]  # array → std
+    elif variant == 3:
+        doc["@context"] = {"@vocab": "https://schema.org/"}
+        doc["@id"] = f"dataset/{i}"  # relative @id → file:// fix
+    elif variant == 4:
+        doc["@context"] = {"@vocab": "https://schema.org/",
+                           "schema": "https://schema.org/"}
+        doc["creator"] = {"@type": "Person", "name": f"Author {i % 50}",
+                          "affiliation": {"@type": "Organization", "name": alias}}
+    else:
+        doc.pop("@context", None)  # no context → empty normalization quirk
+    return doc
+
+
+def person_doc(i: int, host: str) -> dict:
+    return {
+        "@context": {"@vocab": "https://schema.org/"},
+        "@type": "Person",
+        "name": f"Person {i % 100}",
+        "worksFor": {"@type": "Organization", "name": org_mention(i)[0]},
+    }
+
+
+def jsonld_blocks(i: int) -> list[str]:
+    """The JSON-LD script blocks embedded in page i (pre-HTML)."""
+    cls = row_class(i)
+    host = host_for(i)
+    if cls == "none":
+        return []
+    if cls == "invalid":
+        return ['{"@context": "https://schema.org/", "@type": "Dataset", '
+                f'"name": "broken {i}", ']  # unterminated → isValid filter
+    if cls == "dup":
+        base = i - (i % 100) + (i % 10)  # re-embed an earlier 'one' row's doc
+        return [json.dumps(dataset_doc(base, host_for(base)), sort_keys=True)]
+    if cls == "multi":
+        return [
+            json.dumps(dataset_doc(i, host), sort_keys=True),
+            json.dumps(person_doc(i, host), sort_keys=True),
+        ] + ([json.dumps({"@context": {"@vocab": "https://schema.org/"},
+                          "@type": "WebSite",
+                          "name": f"{host} portal"}, sort_keys=True)]
+             if i % 2 == 0 else [])
+    return [json.dumps(dataset_doc(i, host), sort_keys=True)]
+
+
+PAGE_TEMPLATE = (
+    "<html><head><title>page {i}</title>"
+    '<script type="text/javascript">var page={i};</script>'
+    "{scripts}</head>"
+    "<body><h1>Record {i}</h1><p>{body}</p>"
+    "<!-- <script type=\"application/ld+json\">{{\"decoy\": true}}</script> -->"
+    "</body></html>"
+)
+
+
+def page_row(i: int) -> dict:
+    cls = row_class(i)
+    host = host_for(i)
+    lang = LANGS[i % len(LANGS)]
+    ts = EPOCH + timedelta(seconds=i)
+    body = f"Deterministic synthetic page {i} hosted on {host}."
+    if cls == "rawjson":
+        url = f"https://{host}/data/{i}.jsonld"
+        html = json.dumps(dataset_doc(i, host), sort_keys=True, indent=1)
+    else:
+        url = f"https://{host}/page/{i}"
+        scripts = "".join(
+            f'<script type="application/ld+json">{b}</script>'
+            for b in jsonld_blocks(i)
+        )
+        html = PAGE_TEMPLATE.format(i=i, scripts=scripts, body=body)
+    return {
+        "url": url,
+        "warc_ts": ts,
+        "html": html.encode("utf-8"),
+        "text": body,
+        "lang": lang,
+    }
+
+
+def gen_pages_pandas(n: int, start: int = 0):
+    import pandas as pd
+
+    return pd.DataFrame([page_row(i) for i in range(start, start + n)])
+
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def gen_pages_spark(spark, n: int, partitions: int = 32):
+    """Distributed generation: spark.range → mapInPandas.  Content is a
+    pure function of the row id, so any partitioning yields the same
+    table — generation scales with executors like a real Iceberg scan."""
+    rng = spark.range(0, n, 1, partitions)
+
+    def gen(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame([page_row(int(i)) for i in pdf["id"]])
+
+    return rng.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+def sources_rows() -> list[dict]:
+    """The sources dimension (configs/template/sources.csv shape,
+    ``internal/config/sources.go:57-80``): one row per host; two inactive,
+    one custom identifierpath, one strict fix option."""
+    rows = []
+    for h, host in enumerate(HOSTS):
+        rows.append(
+            {
+                "name": f"src{h:02d}",
+                "propername": f"Synthetic Source {h:02d}",
+                "url": f"https://{host}/sitemap.xml",
+                "domain": host,
+                "pid": f"https://registry.example.org/source/{h:02d}",
+                "active": h not in (17, 19),
+                "identifiertype": "identifiersha" if h % 4 == 0 else "jsonsha",
+                "identifierpath": "$['@id']" if h == 3 else "",
+                "fixcontextoption": "strict" if h == 18 else "https",
+            }
+        )
+    return rows
+
+
+def gen_sources_spark(spark):
+    return spark.createDataFrame(
+        [tuple(r.values()) for r in sources_rows()],
+        "name string, propername string, url string, domain string, pid string,"
+        " active boolean, identifiertype string, identifierpath string,"
+        " fixcontextoption string",
+    )
