@@ -117,3 +117,15 @@ def mill_udf(jsonld: pd.Series, doc_sha: pd.Series) -> pd.Series:
             return []
 
     return pd.Series([one(d, s) for d, s in zip(jsonld, doc_sha)])
+
+
+@F.pandas_udf(T.StringType())
+def winnow_fp_udf(texts: pd.Series) -> pd.Series:
+    """Winnowing document fingerprint (core/text.py) — the one text op
+    whose 64-bit modular rolling hash is not portable SQL."""
+    from ..core.text import winnow_fingerprint
+
+    return pd.Series(
+        ["|".join(hex(h)[2:] for h in winnow_fingerprint(t or ""))
+         for t in texts]
+    )

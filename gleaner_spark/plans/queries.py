@@ -1,0 +1,967 @@
+"""Query registry: every operator from SURVEY.md §2 plus the
+training-data-pipeline operators, each as a (spark, sf_dir) → DataFrame
+callable with (where SQL-expressible) a DuckDB oracle producing the
+identical relation.
+
+Design rule: the Spark side uses only JVM built-ins (higher-order
+functions, md5/sha2, regexp) for everything the oracle checks, so the
+correctness gate exercises the *same formulas* through two independent
+engines.  md5-seeded hashing keeps MinHash/SimHash bit-identical across
+Spark SQL, DuckDB and the pure-Python core (core/text.py).
+
+The KG queries (kg_*) drive the real pipeline UDFs (extract → fix →
+normalize → mill) over pages *constructed from* the documents table, and
+the oracle reconstructs the expected triples / canonical-n-quads sha256
+directly in SQL — an independent end-to-end check of the URDNA2015 +
+emission path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# ---------------------------------------------------------------------------
+# shared formula fragments (single source of truth for Spark + DuckDB)
+# ---------------------------------------------------------------------------
+
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "es": ("el", "la", "de", "que", "los", "las", "una", "por", "con", "para"),
+    "de": ("der", "die", "das", "und", "nicht", "ein", "mit", "ist", "von", "zu"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans", "pour", "que", "qui"),
+}
+
+NUM_MINHASH = 8
+LSH_BAND = 2
+
+
+def _norm_sql(col: str, duck: bool) -> str:
+    # Spark SQL string literals process backslash escapes ('\s' → 's'!),
+    # DuckDB's don't — the regex needs double-escaping only on the Spark
+    # side to mean \s+ in both engines.
+    if duck:
+        return f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+    return f"trim(regexp_replace(lower({col}), '\\\\s+', ' '))"
+
+
+def _tokens_sql(col: str, duck: bool) -> str:
+    norm = _norm_sql(col, duck)
+    return f"string_split({norm}, ' ')" if duck else f"split({norm}, ' ')"
+
+
+def _shingles_sql(col: str, duck: bool) -> str:
+    """Distinct word-3-gram shingles, sorted."""
+    ws = _tokens_sql(col, duck)
+    if duck:
+        inner = (
+            f"list_transform(generate_series(1, greatest(len({ws}) - 2, 1)),"
+            f" i -> array_to_string(({ws})[i:i+2], ' '))"
+        )
+        return f"list_sort(list_distinct({inner}))"
+    inner = (
+        f"transform(sequence(1, greatest(size({ws}) - 2, 1)),"
+        f" i -> concat_ws(' ', slice({ws}, i, 3)))"
+    )
+    return f"array_sort(array_distinct({inner}))"
+
+
+def _minhash_sql(shingles: str, duck: bool, k: int = NUM_MINHASH) -> str:
+    if duck:
+        return (
+            f"list_transform(generate_series(0, {k - 1}),"
+            f" i -> list_min(list_transform({shingles},"
+            f" s -> md5(concat(i::varchar, ':', s)))))"
+        )
+    return (
+        f"transform(sequence(0, {k - 1}),"
+        f" i -> array_min(transform({shingles},"
+        f" s -> md5(concat(cast(i as string), ':', s)))))"
+    )
+
+
+def _stop_hits_sql(col: str, lang: str, duck: bool) -> str:
+    """Non-overlapping occurrence count of the lang's stopwords in the
+    space-padded normalized text (replace-trick, identical in both)."""
+    padded = f"concat(' ', {_norm_sql(col, duck)}, ' ')"
+    parts = []
+    for w in STOPWORDS[lang]:
+        needle = f" {w} "
+        n = len(needle)
+        parts.append(
+            f"cast((length({padded}) - length(replace({padded}, '{needle}', '')))"
+            f" / {n} as int)"
+        )
+    return "(" + " + ".join(parts) + ")"
+
+
+def _simhash_sql(col: str, duck: bool) -> str:
+    """16-bit SimHash over (all) whitespace tokens of normalized text,
+    md5-nibble bit source: bit j set iff sum over tokens of
+    (hexdigit j of md5(token) >= '8' ? 1 : -1) > 0."""
+    toks = _tokens_sql(col, duck)
+    if duck:
+        return (
+            f"list_sum(list_transform(generate_series(0, 15), j -> case when "
+            f"list_sum(list_transform({toks}, t -> case when "
+            f"substring(md5(t), j + 1, 1) >= '8' then 1 else -1 end)) > 0 "
+            f"then (2 ** j)::bigint else 0 end))"
+        )
+    return (
+        f"aggregate(transform(sequence(0, 15), j -> case when "
+        f"aggregate(transform({toks}, t -> case when "
+        f"substring(md5(t), j + 1, 1) >= '8' then 1 else -1 end),"
+        f" 0, (a, x) -> a + x) > 0 "
+        f"then cast(pow(2, j) as bigint) else 0 end),"
+        f" cast(0 as bigint), (a, x) -> a + x)"
+    )
+
+
+def _quality_sql(col: str, duck: bool) -> str:
+    toks = _tokens_sql(col, duck)
+    n = f"len({toks})" if duck else f"size({toks})"
+    flags = ", 'g'" if duck else ""
+    alpha = (
+        f"(length(regexp_replace({col}, '[^A-Za-z \\t\\n]', ''{flags})) * 1.0"
+        f" / greatest(length({col}), 1))"
+    )
+    hits = _stop_hits_sql(col, "en", duck)
+    score = (
+        f"(least({n} / 100.0, 1.0) + {alpha} +"
+        f" least(5.0 * {hits} / greatest({n}, 1), 1.0)) / 3.0"
+    )
+    # Spark parses bare decimal literals as DECIMAL → trailing-zero
+    # formatting + decimal schema; force double before rounding
+    return f"round(cast({score} as double), 6)"
+
+
+def _lang_id_sql(col: str, duck: bool) -> str:
+    h = {lang: _stop_hits_sql(col, lang, duck) for lang in STOPWORDS}
+    mx = f"greatest({h['de']}, {h['en']}, {h['es']}, {h['fr']})"
+    return (
+        f"case when {mx} = 0 then 'und' "
+        f"when {h['de']} = {mx} then 'de' "
+        f"when {h['en']} = {mx} then 'en' "
+        f"when {h['es']} = {mx} then 'es' else 'fr' end"
+    )
+
+
+# the fixed JSON-LD template the kg_* queries embed into synthetic pages
+# (single source of truth shared by the Spark builder and the oracle)
+def _kg_json_sql(duck: bool) -> str:
+    # {"@context": {"@vocab": "https://schema.org/"}, "@id": ..., "@type":
+    #  "Dataset", "name": "Doc N", "about": <source>, "inLanguage": <lang>}
+    return (
+        "concat('{\"@context\": {\"@vocab\": \"https://schema.org/\"}, "
+        "\"@id\": \"https://example.org/doc/', cast(doc_id as varchar), "
+        "'\", \"@type\": \"Dataset\", \"name\": \"Doc ', "
+        "cast(doc_id as varchar), '\", \"about\": \"', source, "
+        "'\", \"inLanguage\": \"', lang, '\"}')"
+    ) if duck else (
+        "concat('{\"@context\": {\"@vocab\": \"https://schema.org/\"}, "
+        "\"@id\": \"https://example.org/doc/', cast(doc_id as string), "
+        "'\", \"@type\": \"Dataset\", \"name\": \"Doc ', "
+        "cast(doc_id as string), '\", \"about\": \"', source, "
+        "'\", \"inLanguage\": \"', lang, '\"}')"
+    )
+
+
+def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _dup_rich_docs(spark, sf_dir):
+    """documents ∪ near-dup mutants (text + ' extra token', id + 100000)
+    — guaranteed near-duplicate pairs for the dedup operators."""
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    mutant = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra near dup token")).alias("text"),
+    )
+    return d.unionByName(mutant)
+
+
+DUP_RICH_SQL = (
+    "(select doc_id, text from documents "
+    "union all "
+    "select doc_id + 100000 as doc_id, text || ' extra near dup token' as text "
+    "from documents)"
+)
+
+
+# ---------------------------------------------------------------------------
+# relational / reference-operator queries
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """Flagship aggregate (J6-style; TPC-H Q1 shape): map-side partial
+    agg, one shuffle on the 6-value group key."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+O_PRICING = """
+select l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) as sum_qty,
+       round(sum(l_extendedprice), 2) as sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+       round(avg(l_quantity), 4) as avg_qty,
+       round(avg(l_extendedprice), 4) as avg_price,
+       count(*) as count_order
+from lineitem group by l_returnflag, l_linestatus
+order by l_returnflag, l_linestatus
+"""
+
+
+def q_run_stats(spark, sf_dir):
+    """J6: the reference's RunStats counter map as one aggregation."""
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+O_RUN_STATS = """
+select event_type, count(*) as n, round(sum(value), 2) as total_value,
+       count(distinct user_id) as users
+from events group by event_type order by event_type
+"""
+
+
+def q_anti_join_diff(spark, sf_dir):
+    """J3: the resume primitive — EXCEPT semantics via left-anti join
+    (reference diff mode, resources.go:210-245)."""
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey",
+               "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+O_ANTI_JOIN = """
+select c_custkey, c_name from customer
+where c_custkey not in (
+  select o_custkey from orders where o_orderpriority = '1-URGENT'
+)
+"""
+
+
+def q_broadcast_lookup_join(spark, sf_dir):
+    """J1/J2: dimension lookup joins — customer→nation→region broadcast
+    chain, revenue rollup per region."""
+    c = _load(spark, sf_dir, "customer")
+    n = _load(spark, sf_dir, "nation")
+    r = _load(spark, sf_dir, "region")
+    o = _load(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("r_name")
+    )
+
+
+O_BROADCAST_JOIN = """
+select r_name, round(sum(o_totalprice), 2) as revenue, count(*) as n_orders
+from orders
+join customer on o_custkey = c_custkey
+join nation on c_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+group by r_name order by r_name
+"""
+
+
+def q_union_sources(spark, sf_dir):
+    """J4: multi-source union (sitemap-part append semantics)."""
+    ev = _load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").select("event_id", "event_type")
+    b = ev.filter(F.col("value") > 90).select("event_id", "event_type")
+    return a.unionByName(b).groupBy("event_type").agg(
+        F.count("*").alias("n")
+    ).orderBy("event_type")
+
+
+O_UNION = """
+select event_type, count(*) as n from (
+  select event_id, event_type from events where event_type = 'error'
+  union all
+  select event_id, event_type from events where value > 90
+) group by event_type order by event_type
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    """J5 as a training-data op: exact dedup by md5 of normalized text
+    over a dup-rich input, deterministic survivor = min doc_id."""
+    d = _dup_rich_docs(spark, sf_dir)
+    return (
+        d.withColumn("fingerprint", F.expr(f"md5({_norm_sql('text', False)})"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+O_DEDUP_EXACT = f"""
+select md5({_norm_sql('text', True)}) as fingerprint,
+       min(doc_id) as keep_id, count(*) as n_copies
+from {DUP_RICH_SQL} group by 1
+"""
+
+
+def q_sort_topk(spark, sf_dir):
+    """J8: deterministic ordering (sort-before-hash parity shape)."""
+    d = _load(spark, sf_dir, "documents")
+    return (
+        d.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .select("doc_id", "n_chars", "source")
+        .limit(10)
+    )
+
+
+O_SORT_TOPK = """
+select doc_id, n_chars, source from documents
+order by n_chars desc, doc_id asc limit 10
+"""
+
+
+def q_count_scan(spark, sf_dir):
+    """J7: count-scan per source (the progress-bar pre-count)."""
+    d = _load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(F.count("*").alias("n")).orderBy("source")
+
+
+O_COUNT_SCAN = "select source, count(*) as n from documents group by source order by source"
+
+
+def q_hash_ids(spark, sf_dir):
+    """H2/H5: built-in content hashes (sha1 is Python-side parity-tested;
+    md5/sha256 here because both engines expose them)."""
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("md5_hash"),
+        F.sha2("text", 256).alias("sha256_hash"),
+    )
+
+
+O_HASH_IDS = """
+select doc_id, md5(text) as md5_hash, sha256(text) as sha256_hash
+from documents where doc_id < 50
+"""
+
+
+def q_json_path_extract(spark, sf_dir):
+    """S10/H3: JSON path extraction over the events props column
+    (the S3-Select '@graph[1].@id' recovery shape)."""
+    ev = _load(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").alias("k_val")
+    )
+
+
+O_JSON_PATH = """
+select event_id, json_extract_string(props, '$.k') as k_val
+from events where event_id < 200
+"""
+
+
+# ---------------------------------------------------------------------------
+# text-analysis operators (training-data pipeline)
+# ---------------------------------------------------------------------------
+
+def q_text_normalize(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select("doc_id", F.expr(_norm_sql("text", False)).alias("text_norm"))
+
+
+O_TEXT_NORMALIZE = (
+    f"select doc_id, {_norm_sql('text', True)} as text_norm "
+    "from documents where doc_id < 50"
+)
+
+
+def q_token_count(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(f"size({_tokens_sql('text', False)})").alias("n_tokens"),
+        F.length("text").alias("len_chars"),
+    )
+
+
+O_TOKEN_COUNT = (
+    f"select doc_id, len({_tokens_sql('text', True)}) as n_tokens, "
+    "length(text) as len_chars from documents"
+)
+
+
+def q_quality_score(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    return d.select("doc_id", F.expr(_quality_sql("text", False)).alias("quality"))
+
+
+O_QUALITY = (
+    f"select doc_id, {_quality_sql('text', True)} as quality from documents"
+)
+
+
+def q_lang_id(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang",
+        F.expr(_lang_id_sql("text", False)).alias("lang_pred"),
+    )
+
+
+O_LANG_ID = (
+    f"select doc_id, lang, {_lang_id_sql('text', True)} as lang_pred "
+    "from documents"
+)
+
+
+def q_fingerprint(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(f"md5({_norm_sql('text', False)})").alias("fingerprint"),
+    )
+
+
+O_FINGERPRINT = (
+    f"select doc_id, md5({_norm_sql('text', True)}) as fingerprint "
+    "from documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup operators (MinHash / LSH / SimHash / n-gram Jaccard)
+# ---------------------------------------------------------------------------
+
+def q_minhash_signature(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    sh = _shingles_sql("text", False)
+    return d.select(
+        "doc_id",
+        F.expr(f"concat_ws('|', {_minhash_sql(sh, False)})").alias("minhash_sig"),
+    )
+
+
+O_MINHASH_SIG = (
+    f"select doc_id, array_to_string({_minhash_sql(_shingles_sql('text', True), True)}, '|')"
+    " as minhash_sig from documents"
+)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates over the dup-rich corpus:
+    shingle → 8-hash signature → 4 bands of 2 → bucket join → ordered
+    distinct pairs."""
+    d = _dup_rich_docs(spark, sf_dir)
+    sh = _shingles_sql("text", False)
+    sig = d.select(
+        "doc_id", F.expr(_minhash_sql(sh, False)).alias("mh")
+    )
+    n_bands = NUM_MINHASH // LSH_BAND
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}),"
+                f" b -> concat_ws('|', slice(mh, b * {LSH_BAND} + 1, {LSH_BAND})))"
+            )
+        ).alias("band_idx", "band_key"),
+    ).withColumn("bucket", F.concat_ws("#", "band_idx", "band_key"))
+    l = bands.select("bucket", F.col("doc_id").alias("a"))
+    r = bands.select("bucket", F.col("doc_id").alias("b"))
+    return (
+        l.join(r, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+O_DEDUP_MINHASH = f"""
+with sig as (
+  select doc_id, {_minhash_sql(_shingles_sql('text', True), True)} as mh
+  from {DUP_RICH_SQL}
+),
+bands as (
+  select doc_id,
+         concat(b::varchar, '#', array_to_string(mh[b*{LSH_BAND}+1:b*{LSH_BAND}+{LSH_BAND}], '|')) as bucket
+  from sig, unnest(generate_series(0, {NUM_MINHASH // LSH_BAND - 1})) t(b)
+)
+select distinct l.doc_id as a, r.doc_id as b
+from bands l join bands r using (bucket)
+where l.doc_id < r.doc_id
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard pairs ≥ 0.5 via an inverted shingle
+    index (explode → join → group) — the verify step of LSH dedup run
+    exhaustively."""
+    d = _dup_rich_docs(spark, sf_dir)
+    sh = d.select(
+        "doc_id", F.expr(_shingles_sql("text", False)).alias("shingles")
+    ).withColumn("n_sh", F.size("shingles"))
+    inv = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    l = inv.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"), "shingle")
+    r = inv.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"), "shingle")
+    pairs = (
+        l.join(r, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count("*").alias("inter"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("a", "b", "jaccard")
+    )
+    return pairs
+
+
+O_NGRAM_JACCARD = f"""
+with sh as (
+  select doc_id, {_shingles_sql('text', True)} as shingles
+  from {DUP_RICH_SQL}
+),
+inv as (
+  select doc_id, len(shingles) as n_sh, unnest(shingles) as shingle from sh
+)
+select l.doc_id as a, r.doc_id as b,
+       round(count(*) * 1.0 / (any_value(l.n_sh) + any_value(r.n_sh) - count(*)), 4) as jaccard
+from inv l join inv r using (shingle)
+where l.doc_id < r.doc_id
+group by l.doc_id, r.doc_id
+having round(count(*) * 1.0 / (any_value(l.n_sh) + any_value(r.n_sh) - count(*)), 4) >= 0.5
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.expr(_simhash_sql("text", False)).alias("simhash16")
+    )
+
+
+O_SIMHASH = (
+    f"select doc_id, {_simhash_sql('text', True)} as simhash16 from documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def _cosine_expr(a: str, b: str) -> str:
+    """double-precision cosine via zip_with/aggregate (JVM-side)."""
+    dot = (f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+           " cast(0.0 as double), (acc, v) -> acc + v)")
+    na = (f"sqrt(aggregate({a}, cast(0.0 as double),"
+          " (acc, v) -> acc + cast(v as double) * cast(v as double)))")
+    nb = (f"sqrt(aggregate({b}, cast(0.0 as double),"
+          " (acc, v) -> acc + cast(v as double) * cast(v as double)))")
+    return f"({dot} / ({na} * {nb}))"
+
+
+def q_ann_topk_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-10 neighbours of vec_id 0 — the ANN
+    baseline.  Deterministic selection via (rounded sim, vec_id) rank."""
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "cos_sim",
+            F.round(F.expr(_cosine_expr("embedding", "query_vec")), 6),
+        )
+        .select("vec_id", "cos_sim")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("vec_id", "cos_sim", "rnk")
+    )
+
+
+O_ANN_TOPK = """
+with q as (select embedding::DOUBLE[] as qv from embeddings where vec_id = 0),
+scored as (
+  select vec_id,
+         round(list_dot_product(embedding::DOUBLE[], qv)
+               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qv, qv))), 6) as cos_sim
+  from embeddings, q where vec_id <> 0
+)
+select vec_id, cos_sim, rnk from (
+  select vec_id, cos_sim,
+         row_number() over (order by cos_sim desc, vec_id asc) as rnk
+  from scored
+) where rnk <= 10
+"""
+
+
+def q_ann_lsh_bucketed(spark, sf_dir):
+    """Scale-path ANN: sign-bucket LSH (first 8 dims' signs) → top-5
+    within-bucket pairs per bucket by cosine.  At 10^12 scale the bucket
+    key becomes the shuffle/partition key; brute force stays per-bucket."""
+    e = _load(spark, sf_dir, "embeddings")
+    bucket = F.expr(
+        "concat_ws('', transform(slice(embedding, 1, 8),"
+        " x -> case when x >= 0 then '1' else '0' end))"
+    )
+    eb = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    l = eb.select("bucket", F.col("vec_id").alias("a"),
+                  F.col("embedding").alias("ea"))
+    r = eb.select("bucket", F.col("vec_id").alias("b"),
+                  F.col("embedding").alias("eb"))
+    pairs = (
+        l.join(r, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos_sim", F.round(F.expr(_cosine_expr("ea", "eb")), 6))
+        .select("bucket", "a", "b", "cos_sim")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket").orderBy(
+        F.desc("cos_sim"), F.asc("a"), F.asc("b")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("bucket", "a", "b", "cos_sim", "rnk")
+    )
+
+
+O_ANN_LSH = """
+with eb as (
+  select vec_id, embedding::DOUBLE[] as ev,
+         array_to_string(list_transform(embedding[1:8],
+           x -> case when x >= 0 then '1' else '0' end), '') as bucket
+  from embeddings
+),
+pairs as (
+  select l.bucket, l.vec_id as a, r.vec_id as b,
+         round(list_dot_product(l.ev, r.ev)
+               / (sqrt(list_dot_product(l.ev, l.ev))
+                  * sqrt(list_dot_product(r.ev, r.ev))), 6) as cos_sim
+  from eb l join eb r using (bucket) where l.vec_id < r.vec_id
+)
+select bucket, a, b, cos_sim, rnk from (
+  select bucket, a, b, cos_sim,
+         row_number() over (partition by bucket
+                            order by cos_sim desc, a asc, b asc) as rnk
+  from pairs
+) where rnk <= 5
+"""
+
+
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label centroid (the IVF coarse-quantizer build step):
+    element-wise mean via posexplode → groupBy, all JVM-side."""
+    e = _load(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_v"))
+        .filter(F.col("dim") < 8)
+        .orderBy("label", "dim")
+    )
+
+
+O_CENTROIDS = """
+select label, dim - 1 as dim, round(avg(v::DOUBLE), 6) as mean_v
+from (select label, unnest(embedding) as v,
+             generate_subscripts(embedding, 1) as dim
+      from embeddings)
+where dim - 1 < 8
+group by label, dim order by label, dim
+"""
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries (drive the real UDF path; oracle reconstructs in SQL)
+# ---------------------------------------------------------------------------
+
+KG_DOC_LIMIT = 200
+
+
+def _kg_pages(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < KG_DOC_LIMIT)
+    html = F.concat(
+        F.lit('<html><head><script type="application/ld+json">'),
+        F.expr(_kg_json_sql(False)),
+        F.lit("</script></head><body>decoy</body></html>"),
+    )
+    return d.select(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.org/doc/"), F.col("doc_id")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        html.cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def q_kg_extract_mill(spark, sf_dir):
+    """End-to-end: constructed pages → extract UDF → fix/normalize UDF →
+    mill UDF → (subject, predicate, object).  The oracle builds the same
+    triples by string construction — an engine-independent check of the
+    whole extraction/expansion/emission path."""
+    from ..operators.stages import extract_stage, mill_stage, normalize_stage, with_source
+
+    pages = _kg_pages(spark, sf_dir)
+    blocks = extract_stage(with_source(pages, None))
+    docs = normalize_stage(blocks).filter(F.col("valid"))
+    triples = mill_stage(docs, bucket="gleaner")
+    return triples.select("subject", "predicate", "object")
+
+
+O_KG_EXTRACT_MILL = f"""
+with d as (select doc_id, source, lang from documents where doc_id < {KG_DOC_LIMIT}),
+ids as (select concat('<https://example.org/doc/', cast(doc_id as varchar), '>') as s,
+               doc_id, source, lang from d)
+select s as subject,
+       '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' as predicate,
+       '<https://schema.org/Dataset>' as object from ids
+union all
+select s, '<https://schema.org/name>',
+       concat('"Doc ', cast(doc_id as varchar), '"') from ids
+union all
+select s, '<https://schema.org/about>', concat('"', source, '"') from ids
+union all
+select s, '<https://schema.org/inLanguage>', concat('"', lang, '"') from ids
+"""
+
+
+def q_kg_graph_urn(spark, sf_dir):
+    """URDNA2015 + SHA-256 graph id, oracled by constructing the
+    canonical n-quads (known sorted line order for this doc shape) and
+    sha256-ing them in SQL."""
+    from ..operators.stages import extract_stage, normalize_stage, with_source
+
+    pages = _kg_pages(spark, sf_dir)
+    blocks = extract_stage(with_source(pages, None))
+    docs = normalize_stage(blocks).filter(F.col("valid"))
+    return docs.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        F.col("norm_sha256").alias("graph_sha256"),
+    )
+
+
+O_KG_GRAPH_URN = f"""
+with d as (select doc_id, source, lang from documents where doc_id < {KG_DOC_LIMIT}),
+built as (
+  select doc_id,
+    concat('<https://example.org/doc/', cast(doc_id as varchar), '>') as s,
+    source, lang from d
+)
+select doc_id, sha256(concat(
+  s, ' <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <https://schema.org/Dataset> .', chr(10),
+  s, ' <https://schema.org/about> "', source, '" .', chr(10),
+  s, ' <https://schema.org/inLanguage> "', lang, '" .', chr(10),
+  s, ' <https://schema.org/name> "Doc ', cast(doc_id as varchar), '" .', chr(10)
+)) as graph_sha256
+from built
+"""
+
+
+def q_entity_cc(spark, sf_dir):
+    """Connected components over a deterministic graph derived from
+    documents (star-of-10 + decade chains), oracled by a DuckDB
+    recursive CTE — validates the iterative-self-join CC operator."""
+    from ..operators.link import connected_components
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    star = d.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("a"),
+        (F.col("doc_id") - F.col("doc_id") % 10).alias("b"),
+    )
+    chain = d.filter(
+        (F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 100 != 0)
+    ).select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") - 10).alias("b")
+    )
+    edges = star.unionByName(chain)
+    return connected_components(edges).select(
+        F.col("entity").alias("node"), F.col("component").alias("component")
+    )
+
+
+O_ENTITY_CC = """
+with edges_raw as (
+  select doc_id as a, doc_id - (doc_id % 10) as b from documents where doc_id % 10 <> 0
+  union all
+  select doc_id as a, doc_id - 10 as b from documents
+  where doc_id % 10 = 0 and doc_id % 100 <> 0
+),
+edges as (select a, b from edges_raw union select b, a from edges_raw),
+nodes as (select distinct a as v from edges),
+reach as (
+  select v, v as u from nodes
+  union
+  select r.v, e.b as u from reach r join edges e on e.a = r.u
+)
+select v as node, min(u) as component from reach group by v
+""".replace("with edges_raw", "with recursive edges_raw")
+
+
+# ---------------------------------------------------------------------------
+# multimodal metadata (binary payload plumbing; decode is a typed stub)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_meta(spark, sf_dir):
+    """Opaque-binary metadata path: payload size + content hash.  The
+    decode/feature-extract steps are mapInPandas stubs in
+    operators/multimodal.py (image/audio libs absent in this
+    environment); this query oracles the metadata plumbing."""
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        F.md5(F.col("text").cast("binary")).alias("payload_md5"),
+    )
+
+
+O_MULTIMODAL_META = """
+select doc_id, octet_length(text::BLOB) as n_bytes,
+       md5(text) as payload_md5
+from documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# streaming (structured-streaming over the events table)
+# ---------------------------------------------------------------------------
+
+def q_streaming_event_counts(spark, sf_dir):
+    """Structured Streaming: readStream over the events parquet,
+    1-hour windowed counts, availableNow trigger into a memory sink —
+    returned as the final batch relation."""
+    import uuid
+
+    ev_schema = _load(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    name = f"stream_counts_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+O_STREAMING = """
+select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as window_start,
+       event_type, count(*) as n
+from events group by 1, 2
+"""
+
+
+def q_winnow_fingerprint(spark, sf_dir):
+    """Winnowing fingerprint (Schleimer et al.) via a pandas UDF over the
+    pure core — no SQL oracle (64-bit modular rolling hash is not
+    portable SQL); the driver records a rows-only check and the pure
+    function is unit-tested."""
+    from ..functions.udfs import winnow_fp_udf
+
+    d = _load(spark, sf_dir, "documents")
+    return d.select("doc_id", winnow_fp_udf("text").alias("winnow_fp"))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple] = {
+    # relational / reference-operator parity
+    "pricing_summary": (q_pricing_summary, O_PRICING),
+    "run_stats_agg": (q_run_stats, O_RUN_STATS),
+    "anti_join_diff": (q_anti_join_diff, O_ANTI_JOIN),
+    "broadcast_lookup_join": (q_broadcast_lookup_join, O_BROADCAST_JOIN),
+    "union_sources": (q_union_sources, O_UNION),
+    "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
+    "sort_topk": (q_sort_topk, O_SORT_TOPK),
+    "count_scan": (q_count_scan, O_COUNT_SCAN),
+    "hash_ids": (q_hash_ids, O_HASH_IDS),
+    "json_path_extract": (q_json_path_extract, O_JSON_PATH),
+    # text analysis
+    "text_normalize": (q_text_normalize, O_TEXT_NORMALIZE),
+    "token_count": (q_token_count, O_TOKEN_COUNT),
+    "quality_score": (q_quality_score, O_QUALITY),
+    "lang_id": (q_lang_id, O_LANG_ID),
+    "fingerprint_md5": (q_fingerprint, O_FINGERPRINT),
+    # dedup family
+    "minhash_signature": (q_minhash_signature, O_MINHASH_SIG),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, O_DEDUP_MINHASH),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, O_NGRAM_JACCARD),
+    "dedup_simhash": (q_dedup_simhash, O_SIMHASH),
+    # similarity search
+    "ann_topk_bruteforce": (q_ann_topk_bruteforce, O_ANN_TOPK),
+    "ann_lsh_bucketed": (q_ann_lsh_bucketed, O_ANN_LSH),
+    "embedding_centroids": (q_embedding_centroids, O_CENTROIDS),
+    # KG pipeline end-to-end
+    "kg_extract_mill": (q_kg_extract_mill, O_KG_EXTRACT_MILL),
+    "kg_graph_urn": (q_kg_graph_urn, O_KG_GRAPH_URN),
+    "entity_cc": (q_entity_cc, O_ENTITY_CC),
+    # multimodal metadata + streaming + non-SQL ops
+    "multimodal_meta": (q_multimodal_meta, O_MULTIMODAL_META),
+    "streaming_event_counts": (q_streaming_event_counts, O_STREAMING),
+    "winnow_fingerprint": (q_winnow_fingerprint, None),
+}
