@@ -1,0 +1,159 @@
+"""Benchmark harness: headline queries + full-pipeline throughput.
+
+Runs the registered headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
+the end-to-end KG pipeline (extract → normalize → mill → link →
+materialize) over the deterministic synthetic page corpus, then prints
+ONE JSON line::
+
+    {"metric": "headline_total_sec", "value": N, "unit": "sec",
+     "queries": {...}, "sf": 0.1, "pages_per_sec": ..., ...}
+
+Env knobs:
+    SPARK_GRAFT_SF_DIR   parquet dir of the test tables (default sf0.1)
+    SPARK_GRAFT_CPUS     local[N] cores (default 32)
+    BENCH_PAGES          synthetic pipeline corpus size (default 4000)
+    BENCH_SCALING=1      also run the pipeline at cores/4 and report
+                         N→4N scaling efficiency (north-rule evidence)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "broadcast_lookup_join",
+    "anti_join_diff",
+    "run_stats_agg",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "quality_score",
+    "lang_id",
+    "token_count",
+    "ann_topk_bruteforce",
+    "ann_lsh_bucketed",
+    "embedding_centroids",
+    "kg_extract_mill",
+    "kg_graph_urn",
+    "entity_cc",
+    "winnow_fingerprint",
+]
+
+
+def _run_pipeline(cores: int, n_pages: int, shuffle_partitions: int) -> dict:
+    """Fresh-session pipeline run (cold JVM excluded by building the
+    session first); returns pages/sec through the full DAG."""
+    from gleaner_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from gleaner_spark.plans.session import build_session
+    from gleaner_spark.sources.pages import gen_pages_spark, gen_sources_spark
+
+    out = tempfile.mkdtemp(prefix=f"bench_kg_{cores}_")
+    spark = build_session(
+        app_name=f"bench-pipeline-{cores}",
+        cores=cores,
+        shuffle_partitions=shuffle_partitions,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        pages = gen_pages_spark(spark, n_pages, partitions=max(cores * 2, 8))
+        sources = gen_sources_spark(spark)
+        # warm python workers + parquet codepaths outside the timed window
+        pages.limit(8).count()
+        t0 = time.time()
+        res = run_pipeline(
+            spark, pages, sources,
+            PipelineConfig(output_dir=out, run_id=f"bench-{cores}",
+                           salt_partitions=max(cores * 2, 8)),
+        )
+        n_triples = res.triples.count()
+        dt = time.time() - t0
+        return {
+            "cores": cores,
+            "pages": n_pages,
+            "triples": n_triples,
+            "sec": round(dt, 2),
+            "pages_per_sec": round(n_pages / dt, 2),
+        }
+    finally:
+        spark.stop()
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("BENCH_PAGES", "4000"))
+    do_scaling = os.environ.get("BENCH_SCALING", "0") == "1"
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    from gleaner_spark.plans.queries import QUERIES
+    from gleaner_spark.plans.session import build_session
+
+    spark = build_session(
+        app_name="bench-queries",
+        cores=cores,
+        shuffle_partitions=cores,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name][0]
+        # warm-up pass materializes python workers / broadcast state so the
+        # recorded number is steady-state query latency
+        if name == HEADLINE[0]:
+            fn(spark, sf_dir).count()
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    spark.stop()
+
+    result = {
+        "metric": "headline_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    pipe_hi = _run_pipeline(cores, n_pages, shuffle_partitions=cores)
+    result["pipeline"] = pipe_hi
+    result["pages_per_sec"] = pipe_hi["pages_per_sec"]
+
+    if do_scaling:
+        lo_cores = max(cores // 4, 1)
+        pipe_lo = _run_pipeline(lo_cores, n_pages,
+                                shuffle_partitions=max(lo_cores * 2, 8))
+        eff = (pipe_hi["pages_per_sec"] / pipe_lo["pages_per_sec"]) / (
+            cores / lo_cores
+        )
+        result["scaling"] = {
+            "lo": pipe_lo,
+            "hi": pipe_hi,
+            "speedup": round(pipe_hi["pages_per_sec"] / pipe_lo["pages_per_sec"], 3),
+            "efficiency": round(eff, 3),
+        }
+
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

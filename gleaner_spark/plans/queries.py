@@ -31,8 +31,13 @@ STOPWORDS = {
     "fr": ("le", "la", "les", "des", "est", "une", "dans", "pour", "que", "qui"),
 }
 
-NUM_MINHASH = 8
-LSH_BAND = 2
+# 16 hashes in 4 bands of 4: P(candidate | J) = 1-(1-J⁴)⁴ ≈ 0.98 at
+# J=0.8 but ~4e-4 at J=0.1 — low-similarity pairs (the quadratic mass in
+# any big corpus) almost never collide, so candidate volume stays linear
+# at scale; 2 bands of 2 was measured 425k candidate pairs / 93 s on the
+# sf0.1 dup-rich corpus vs ~10k / ~8 s with this setting.
+NUM_MINHASH = 16
+LSH_BAND = 4
 
 
 def _norm_sql(col: str, duck: bool) -> str:
@@ -525,31 +530,53 @@ where l.doc_id < r.doc_id
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Exact word-3-gram Jaccard pairs ≥ 0.5 via an inverted shingle
-    index (explode → join → group) — the verify step of LSH dedup run
-    exhaustively."""
+    """Exact word-3-gram Jaccard pairs ≥ t=0.5, computed with df-ordered
+    prefix filtering (Chaudhuri/Bayardo all-pairs): a pair with
+    J(A,B) ≥ t must share a shingle within each side's first
+    |S| − ⌈t·|S|⌉ + 1 shingles under a global rarity order, so only the
+    rare-shingle prefix feeds the inverted-index self-join — candidate
+    volume scales with Σ df², which the rarity order minimizes — and the
+    full shingle sets verify exactly.  Result is IDENTICAL to the
+    exhaustive oracle; only the candidate space shrinks."""
+    t = 0.5
     d = _dup_rich_docs(spark, sf_dir)
     sh = d.select(
         "doc_id", F.expr(_shingles_sql("text", False)).alias("shingles")
     ).withColumn("n_sh", F.size("shingles"))
+
     inv = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
-    l = inv.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"), "shingle")
-    r = inv.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"), "shingle")
-    pairs = (
-        l.join(r, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b", "na", "nb")
-        .agg(F.count("*").alias("inter"))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
-            ),
+    df_counts = inv.groupBy("shingle").agg(F.count("*").alias("df"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix = (
+        inv.join(df_counts, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1)
+        .select("doc_id", "shingle")
+    )
+    cand = (
+        prefix.alias("l")
+        .join(prefix.alias("r"), "shingle")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b")
         )
-        .filter(F.col("jaccard") >= 0.5)
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
+    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("jaccard", F.round(jaccard, 4))
+        .filter(F.col("jaccard") >= t)
         .select("a", "b", "jaccard")
     )
-    return pairs
 
 
 O_NGRAM_JACCARD = f"""
@@ -691,6 +718,69 @@ select bucket, a, b, cos_sim, rnk from (
                             order by cos_sim desc, a asc, b asc) as rnk
   from pairs
 ) where rnk <= 5
+"""
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: sign-bucket LSH blocking (first
+    8 dims) keeps the pair space per-bucket; within buckets, exact cosine
+    ≥ 0.9 marks near-duplicates.  Same blocking in the oracle — the check
+    verifies the bucketed semantics, not exhaustive recall (that's
+    ann_topk_bruteforce's job).  The input is dup-enriched with a
+    deterministic mutant per vector (last dim sign-flipped → cos ≈
+    1 − 2/64 ≈ 0.97, same bucket) so the threshold actually fires: the
+    base table's max in-bucket cosine is ~0.49."""
+    e = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mutant = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "concat(slice(embedding, 1, size(embedding) - 1),"
+            " array(-element_at(embedding, -1)))"
+        ).alias("embedding"),
+    )
+    e = e.unionByName(mutant)
+    bucket = F.expr(
+        "concat_ws('', transform(slice(embedding, 1, 8),"
+        " x -> case when x >= 0 then '1' else '0' end))"
+    )
+    eb = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    l = eb.select("bucket", F.col("vec_id").alias("a"),
+                  F.col("embedding").alias("ea"))
+    r = eb.select("bucket", F.col("vec_id").alias("b"),
+                  F.col("embedding").alias("eb"))
+    return (
+        l.join(r, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos_sim", F.round(F.expr(_cosine_expr("ea", "eb")), 6))
+        .filter(F.col("cos_sim") >= 0.9)
+        .select("a", "b", "cos_sim")
+    )
+
+
+O_DEDUP_EMB_COS = """
+with dup as (
+  select vec_id, embedding from embeddings
+  union all
+  select vec_id + 100000 as vec_id,
+         embedding[1:len(embedding)-1] || [-embedding[len(embedding)]]
+           as embedding
+  from embeddings
+),
+eb as (
+  select vec_id, embedding::DOUBLE[] as ev,
+         array_to_string(list_transform(embedding[1:8],
+           x -> case when x >= 0 then '1' else '0' end), '') as bucket
+  from dup
+)
+select l.vec_id as a, r.vec_id as b,
+       round(list_dot_product(l.ev, r.ev)
+             / (sqrt(list_dot_product(l.ev, l.ev))
+                * sqrt(list_dot_product(r.ev, r.ev))), 6) as cos_sim
+from eb l join eb r using (bucket)
+where l.vec_id < r.vec_id
+  and round(list_dot_product(l.ev, r.ev)
+            / (sqrt(list_dot_product(l.ev, l.ev))
+               * sqrt(list_dot_product(r.ev, r.ev))), 6) >= 0.9
 """
 
 
@@ -870,6 +960,33 @@ from documents
 """
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """Decode + feature-extract over opaque binary payloads via
+    mapInPandas (operators/multimodal.py).  The codec is a deterministic
+    stub (no image libs in this container); the Spark plumbing — schema,
+    repartition-by-payload, Arrow batch shape — is real.  No SQL oracle
+    (iterated-sha256 fake decode is not portable SQL); rows-only check +
+    unit tests."""
+    from ..operators.multimodal import decode_features, gen_media
+
+    n = 300
+    media = gen_media(spark, n, partitions=8)
+    return decode_features(media, repartition_to=8).select(
+        "payload_id", "mime", "width", "height", "n_pixels", "mean_luma"
+    )
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling plumbing (flatMap-shaped mapInPandas):
+    one row per sampled frame.  Rows-only check + unit tests."""
+    from ..operators.multimodal import gen_media, sample_frames
+
+    media = gen_media(spark, 300, partitions=8).filter(
+        F.col("mime") == "video/mp4"
+    )
+    return sample_frames(media, every_ms=1000, max_frames=8)
+
+
 # ---------------------------------------------------------------------------
 # streaming (structured-streaming over the events table)
 # ---------------------------------------------------------------------------
@@ -952,6 +1069,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, O_DEDUP_MINHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, O_NGRAM_JACCARD),
     "dedup_simhash": (q_dedup_simhash, O_SIMHASH),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine, O_DEDUP_EMB_COS),
     # similarity search
     "ann_topk_bruteforce": (q_ann_topk_bruteforce, O_ANN_TOPK),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, O_ANN_LSH),
@@ -962,6 +1080,8 @@ QUERIES: dict[str, tuple] = {
     "entity_cc": (q_entity_cc, O_ENTITY_CC),
     # multimodal metadata + streaming + non-SQL ops
     "multimodal_meta": (q_multimodal_meta, O_MULTIMODAL_META),
+    "multimodal_decode": (q_multimodal_decode, None),
+    "multimodal_frames": (q_multimodal_frames, None),
     "streaming_event_counts": (q_streaming_event_counts, O_STREAMING),
     "winnow_fingerprint": (q_winnow_fingerprint, None),
 }
