@@ -104,25 +104,24 @@ def word_shingles(text: str, n: int = 3) -> list[str]:
 
 
 def md5_minhash_signature(shingles: list[str], num_hashes: int = 16) -> list[str]:
-    """MinHash signature using seeded md5 — portable across Spark SQL /
-    DuckDB / Python (``min(md5(i || ':' || shingle))`` per seed i).
-
-    Hex-string min == numeric min on the uniform md5 space, so comparing
-    hex strings is a valid MinHash.  Empty shingle set → md5 of the seed
-    prefix alone (stable sentinel).
+    """MinHash signature from ONE md5 per shingle: hash function i is the
+    md5 hex digest rotated left by 2·i characters, and sig[i] is the
+    lexicographic min over shingles.  Hex-string min == numeric min on
+    the uniform md5 space, and each rotation keys the min on a different
+    digest position, giving k near-independent permutations for the cost
+    of a single digest — the per-seed ``md5(i || ':' || s)`` variant costs
+    k× the hashing and was the measured bottleneck in the Spark LSH job
+    (interpreted per-element md5 inside higher-order functions).
+    Portable: identical values from Python, Spark SQL and DuckDB.
+    Empty shingle set → rotations of md5("") (stable sentinel).
     """
-    sig = []
-    for i in range(num_hashes):
-        prefix = f"{i}:"
-        if shingles:
-            m = min(
-                hashlib.md5((prefix + s).encode("utf-8")).hexdigest()
-                for s in shingles
-            )
-        else:
-            m = hashlib.md5(prefix.encode("utf-8")).hexdigest()
-        sig.append(m)
-    return sig
+    hexes = [
+        hashlib.md5(s.encode("utf-8")).hexdigest() for s in shingles
+    ] or [hashlib.md5(b"").hexdigest()]
+    return [
+        min(h[2 * i:] + h[: 2 * i] for h in hexes)
+        for i in range(num_hashes)
+    ]
 
 
 def lsh_bands(signature: list[str], band_size: int = 4) -> list[str]:

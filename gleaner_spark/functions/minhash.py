@@ -1,0 +1,60 @@
+"""Rotation MinHash on the whole-stage-codegen path.
+
+Hash function i = md5 hex digest rotated left by 2·i characters; sig[i]
+= lexicographic min over the shingle set (hex min == numeric min on the
+uniform md5 space).  One digest per shingle instead of k — and, more
+importantly for Spark, the computation is laid out as exploded rows so
+md5/substring/concat run inside whole-stage codegen with a map-side
+partial min aggregation, instead of interpreted per-element lambdas
+inside ``transform(...)`` higher-order functions (measured ~25× slower
+for the identical result at sf0.1).
+
+Reference semantics: ``core.text.md5_minhash_signature`` (pure Python,
+unit-tested); DuckDB oracle formulation: ``plans.queries._minhash_sql``.
+All three produce bit-identical signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def minhash_frame(df: DataFrame, id_cols: list[str],
+                  shingles_col: str = "shingles", k: int = 16) -> DataFrame:
+    """(id_cols..., shingles: array<string>) → (id_cols..., mh:
+    array<string>[k]).  One shuffle (partial-agg min per rotation)."""
+    ex = df.select(*id_cols, F.explode(shingles_col).alias("s")).withColumn(
+        "h", F.md5("s")
+    )
+    mins = ex.groupBy(*id_cols).agg(
+        *[
+            F.min(
+                F.concat(
+                    F.substring("h", 2 * i + 1, 32 - 2 * i),
+                    F.substring("h", 1, 2 * i),
+                )
+            ).alias(f"m{i}")
+            for i in range(k)
+        ]
+    )
+    return mins.select(
+        *id_cols, F.array(*[f"m{i}" for i in range(k)]).alias("mh")
+    )
+
+
+def band_keys(sig: DataFrame, id_cols: list[str], band_size: int,
+              mh_col: str = "mh") -> DataFrame:
+    """Explode a signature into (id_cols..., bucket) band rows —
+    bucket = band index # joined band slice."""
+    return sig.select(
+        *id_cols,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size({mh_col}) div {band_size} - 1),"
+                f" b -> concat_ws('|', slice({mh_col}, b * {band_size} + 1,"
+                f" {band_size})))"
+            )
+        ).alias("band_idx", "band_key"),
+    ).withColumn("bucket", F.concat_ws("#", "band_idx", "band_key")).drop(
+        "band_idx", "band_key"
+    )

@@ -97,17 +97,16 @@ def with_shingles(entities: DataFrame) -> DataFrame:
 
 
 def with_minhash(entities: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
-    """md5-MinHash signature: sig[i] = min over shingles of
-    md5(i || ':' || shingle).  Hex-min == numeric-min on the uniform md5
-    space; md5 keeps Spark SQL, DuckDB oracles and the pure-Python core
-    (core/text.py) bit-identical."""
-    return entities.withColumn(
-        "minhash",
-        F.expr(
-            f"transform(sequence(0, {num_hashes - 1}),"
-            " i -> array_min(transform(shingles,"
-            " s -> md5(concat(cast(i as string), ':', s)))))"
-        ),
+    """Rotation-md5 MinHash on the codegen path (functions/minhash.py):
+    one digest per shingle, exploded rows + groupBy-min instead of
+    interpreted higher-order-function lambdas.  Signature joined back
+    onto the entity rows.  Bit-identical to
+    core.text.md5_minhash_signature."""
+    from ..functions.minhash import minhash_frame
+
+    sig = minhash_frame(entities, ["entity"], k=num_hashes)
+    return entities.join(
+        sig.withColumnRenamed("mh", "minhash"), "entity"
     )
 
 
@@ -120,10 +119,14 @@ def lsh_candidate_pairs(
     """Banded LSH → pairwise candidates within buckets → exact Jaccard
     verification.  One shuffle on the band key, one self-join per band
     bucket (buckets are capped), one semi-join back for verification."""
-    sig = with_minhash(with_shingles(entities))
-    ent = sig.select("entity", "shingles", "digit_tokens", "minhash").dropDuplicates(
-        ["entity"]
-    )
+    # deterministic representative name per entity BEFORE signatures:
+    # an entity with several schema:name literals would otherwise get a
+    # partitioning-dependent row from dropDuplicates
+    uniq = entities.groupBy("entity").agg(F.min("name").alias("name"))
+    ent = with_shingles(uniq)
+    ent = with_minhash(ent).withColumnRenamed("minhash", "minhash_sig")
+    ent = ent.select("entity", "shingles", "digit_tokens",
+                     F.col("minhash_sig").alias("minhash"))
 
     n_bands = NUM_HASHES // band_size
     bands = ent.select(

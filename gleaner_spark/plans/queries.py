@@ -71,17 +71,34 @@ def _shingles_sql(col: str, duck: bool) -> str:
 
 
 def _minhash_sql(shingles: str, duck: bool, k: int = NUM_MINHASH) -> str:
+    """Rotation MinHash (see core/text.py:md5_minhash_signature): hash i
+    = md5 hex rotated left 2·i chars, one digest per shingle.  The array
+    form is for oracles / small inputs; the Spark hot path uses
+    ``_minhash_frame`` (exploded rows → whole-stage-codegen md5 +
+    substring, then groupBy-min) because per-element expressions inside
+    higher-order functions run interpreted — measured ~80 s vs ~3 s at
+    sf0.1 for the identical result."""
     if duck:
         return (
             f"list_transform(generate_series(0, {k - 1}),"
             f" i -> list_min(list_transform({shingles},"
-            f" s -> md5(concat(i::varchar, ':', s)))))"
+            f" s -> substring(md5(s), i * 2 + 1, 32 - i * 2)"
+            f" || substring(md5(s), 1, i * 2))))"
         )
     return (
         f"transform(sequence(0, {k - 1}),"
         f" i -> array_min(transform({shingles},"
-        f" s -> md5(concat(cast(i as string), ':', s)))))"
+        f" s -> concat(substring(md5(s), i * 2 + 1, 32 - i * 2),"
+        f" substring(md5(s), 1, i * 2)))))"
     )
+
+
+def _minhash_frame(df, id_cols: list[str], k: int = NUM_MINHASH):
+    """Codegen-path MinHash (see functions/minhash.py) — bit-identical to
+    ``_minhash_sql`` / core.text.md5_minhash_signature."""
+    from ..functions.minhash import minhash_frame
+
+    return minhash_frame(df, id_cols, k=k)
 
 
 def _stop_hits_sql(col: str, lang: str, duck: bool) -> str:
@@ -470,11 +487,16 @@ O_FINGERPRINT = (
 # ---------------------------------------------------------------------------
 
 def q_minhash_signature(spark, sf_dir):
+    """Exploded codegen path (_minhash_frame): md5 + rotations as plain
+    column expressions over shingle rows, then groupBy-min — the
+    array/HOF formulation runs interpreted per element and was measured
+    ~25× slower at sf0.1."""
     d = _load(spark, sf_dir, "documents")
-    sh = _shingles_sql("text", False)
-    return d.select(
-        "doc_id",
-        F.expr(f"concat_ws('|', {_minhash_sql(sh, False)})").alias("minhash_sig"),
+    sh_df = d.select(
+        "doc_id", F.expr(_shingles_sql("text", False)).alias("shingles")
+    )
+    return _minhash_frame(sh_df, ["doc_id"]).select(
+        "doc_id", F.concat_ws("|", "mh").alias("minhash_sig")
     )
 
 
@@ -489,10 +511,10 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     shingle → 8-hash signature → 4 bands of 2 → bucket join → ordered
     distinct pairs."""
     d = _dup_rich_docs(spark, sf_dir)
-    sh = _shingles_sql("text", False)
-    sig = d.select(
-        "doc_id", F.expr(_minhash_sql(sh, False)).alias("mh")
+    sh_df = d.select(
+        "doc_id", F.expr(_shingles_sql("text", False)).alias("shingles")
     )
+    sig = _minhash_frame(sh_df, ["doc_id"])
     n_bands = NUM_MINHASH // LSH_BAND
     bands = sig.select(
         "doc_id",
@@ -1031,6 +1053,34 @@ from events group by 1, 2
 """
 
 
+def q_streaming_incremental_kg(spark, sf_dir):
+    """The KG pipeline as a Structured Streaming job
+    (streaming/incremental.py): two synthetic WARC segments land in a
+    feed dir, the stream drains them with availableNow, content-dedups
+    across batches, and the accumulated triples relation is returned.
+    No SQL oracle (file-feed orchestration isn't SQL); batch-parity and
+    exactly-once restart are asserted in tests/test_streaming.py."""
+    import os
+    import tempfile
+
+    from ..sources.pages import PAGES_SCHEMA, gen_pages_pandas, gen_sources_spark
+    from ..streaming.incremental import stream_pipeline
+
+    root = tempfile.mkdtemp(prefix="stream_kg_")
+    feed = os.path.join(root, "feed")
+    out = os.path.join(root, "warehouse")
+    os.makedirs(feed, exist_ok=True)
+    for name, start, n in (("seg0", 0, 100), ("seg1", 100, 50)):
+        spark.createDataFrame(
+            gen_pages_pandas(n, start=start), schema=PAGES_SCHEMA
+        ).write.mode("overwrite").parquet(os.path.join(feed, name))
+    q = stream_pipeline(spark, feed + "/*", out, gen_sources_spark(spark))
+    q.awaitTermination(600)
+    return spark.read.parquet(os.path.join(out, "triples")).select(
+        "subject", "predicate", "object", "graph"
+    )
+
+
 def q_winnow_fingerprint(spark, sf_dir):
     """Winnowing fingerprint (Schleimer et al.) via a pandas UDF over the
     pure core — no SQL oracle (64-bit modular rolling hash is not
@@ -1083,5 +1133,6 @@ QUERIES: dict[str, tuple] = {
     "multimodal_decode": (q_multimodal_decode, None),
     "multimodal_frames": (q_multimodal_frames, None),
     "streaming_event_counts": (q_streaming_event_counts, O_STREAMING),
+    "streaming_incremental_kg": (q_streaming_incremental_kg, None),
     "winnow_fingerprint": (q_winnow_fingerprint, None),
 }

@@ -1,0 +1,108 @@
+"""Structured Streaming incremental harvest: exactly-once file
+processing, cross-batch content dedup, batch-parity of results, and the
+windowed-rate monitor."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gleaner_spark.sources.pages import gen_pages_spark, gen_sources_spark
+from gleaner_spark.streaming.incremental import (
+    stream_pipeline,
+    windowed_host_rates,
+)
+
+
+@pytest.fixture()
+def feed_dirs(tmp_path):
+    pages_dir = str(tmp_path / "feed")
+    out_dir = str(tmp_path / "warehouse")
+    os.makedirs(pages_dir, exist_ok=True)
+    return pages_dir, out_dir
+
+
+def _land(spark, pages_dir, start, n, name):
+    """Simulate a WARC segment landing in the feed directory; content is
+    a pure function of the row index, so [start, start+n) regenerates
+    exactly the same rows every time."""
+    from gleaner_spark.sources.pages import PAGES_SCHEMA, gen_pages_pandas
+
+    pdf = gen_pages_pandas(n, start=start)
+    spark.createDataFrame(pdf, schema=PAGES_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(pages_dir, name))
+
+
+def test_incremental_stream_matches_batch_and_dedups(spark, feed_dirs):
+    pages_dir, out_dir = feed_dirs
+    src = gen_sources_spark(spark)
+
+    _land(spark, pages_dir, 0, 200, "seg0")
+    q = stream_pipeline(spark, pages_dir + "/*", out_dir, src)
+    q.awaitTermination(300)
+
+    docs1 = spark.read.parquet(os.path.join(out_dir, "docs"))
+    n1 = docs1.count()
+    assert n1 > 0
+    assert docs1.select("doc_sha1").distinct().count() == n1
+
+    # second segment: 100 new pages + the first 50 re-crawled (dup urls,
+    # same content → content dedup must drop them all)
+    _land(spark, pages_dir, 200, 100, "seg1")
+    _land(spark, pages_dir, 0, 50, "seg2")
+    q = stream_pipeline(spark, pages_dir + "/*", out_dir, src)
+    q.awaitTermination(300)
+
+    docs2 = spark.read.parquet(os.path.join(out_dir, "docs"))
+    assert docs2.select("doc_sha1").distinct().count() == docs2.count()
+
+    # parity: streaming warehouse == one-shot batch over pages 0..300
+    from gleaner_spark.operators.stages import (
+        dedup_docs, extract_stage, normalize_stage, with_source,
+    )
+
+    batch_docs = dedup_docs(
+        normalize_stage(
+            extract_stage(with_source(gen_pages_spark(spark, 300, 4), src))
+        )
+    )
+    stream_shas = {r["doc_sha1"] for r in docs2.select("doc_sha1").collect()}
+    batch_shas = {r["doc_sha1"] for r in batch_docs.select("doc_sha1").collect()}
+    assert stream_shas == batch_shas
+
+    # restart with no new files: exactly-once → nothing reprocessed
+    q = stream_pipeline(spark, pages_dir + "/*", out_dir, src)
+    q.awaitTermination(300)
+    assert spark.read.parquet(os.path.join(out_dir, "docs")).count() == docs2.count()
+
+
+def test_windowed_host_rates(spark, feed_dirs, tmp_path):
+    pages_dir, _ = feed_dirs
+    _land(spark, pages_dir, 0, 300, "seg0")
+    rates = windowed_host_rates(spark, pages_dir + "/*", window="1 hour")
+    q = (
+        rates.writeStream.format("memory")
+        .queryName("host_rates")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.table("host_rates")
+    total = out.agg(F.sum("pages")).collect()[0][0]
+    # append mode emits only watermark-closed windows; all synthetic
+    # timestamps fall in one ~5min span → total is None or ≤ 300
+    assert total is None or total <= 300
+    # complete-mode equivalent via direct batch read for the exact count
+    batch = (
+        spark.read.parquet(pages_dir + "/*")
+        .groupBy(F.window("warc_ts", "1 hour"))
+        .count()
+        .agg(F.sum("count"))
+        .collect()[0][0]
+    )
+    assert batch == 300
