@@ -118,8 +118,19 @@ def move_to_front(needle: str, haystack: list[str]) -> list[str]:
 
 def get_identifier_by_path(json_path: str, jsonld: str | dict) -> list[str]:
     """``GetIdentifierByPath``: match, keep strings, stable lexicographic
-    sort (identifier.go:51-71)."""
-    doc = json.loads(jsonld) if isinstance(jsonld, (str, bytes)) else jsonld
+    sort (identifier.go:51-71).
+
+    Dict inputs are deep-copied: jsonpath_ng's ``find`` MUTATES the
+    searched document on some filter paths (observed: an ``identifier``
+    object flattened to its value list), which silently corrupts every
+    later path in the cascade.  String inputs re-parse per call and were
+    never exposed."""
+    if isinstance(jsonld, (str, bytes)):
+        doc = json.loads(jsonld)
+    else:
+        import copy
+
+        doc = copy.deepcopy(jsonld)
     expr = _compile_path(json_path)
     matches = [m.value for m in expr.find(doc)]
     strings = [v for v in matches if isinstance(v, str)]
@@ -201,6 +212,57 @@ def generate_identifier(
     if identifier_type == NORMALIZED_JSON_SHA:
         return _normalized_identifier(jsonld)
     return _file_sha_identifier(jsonld)
+
+
+def generate_identifier_from(
+    raw: str,
+    normalized: str,
+    identifier_type: str = JSON_SHA,
+    identifier_paths: str = "",
+) -> Identifier:
+    """``generate_identifier`` with a PRE-computed URDNA2015
+    normalization — the fused single-expansion path (core/process.py).
+    The path cascade re-parses ``raw`` per path exactly like the
+    string-input API (µs; also sidesteps jsonpath_ng's input mutation —
+    see get_identifier_by_path).  Byte-identical results to
+    ``generate_identifier``; unit-tested against it."""
+    if normalized == "":
+        base = Identifier(
+            unique_id=get_sha(raw).encode("utf-8").hex(),
+            identifier_type=NORMALIZED_JSON_SHA,
+        )
+        base.json_sha = base.unique_id
+    else:
+        sha = get_sha(normalized)
+        base = Identifier(unique_id=sha, identifier_type=JSON_SHA,
+                          json_sha=sha)
+
+    if identifier_type == NORMALIZED_JSON_SHA:
+        return base
+    if identifier_type in (IDENTIFIER_SHA, IDENTIFIER_STRING):
+        paths = list(JSON_PATHS_DEFAULT)
+        if identifier_paths:
+            for p in identifier_paths.split(","):
+                paths = move_to_front(p, paths)
+        found = get_identifier_by_paths(paths, raw)
+        if found is not None:
+            values, matched_path = found
+            matched = go_sprint_list(values)
+            ident = Identifier(
+                unique_id=get_sha(matched),
+                identifier_type=IDENTIFIER_SHA,
+                matched_path=matched_path,
+                matched_string=matched,
+                json_sha=base.json_sha,
+            )
+            if identifier_type == IDENTIFIER_STRING and ident.matched_string:
+                ident.unique_id = ident.matched_string
+                ident.identifier_type = IDENTIFIER_STRING
+            return ident
+        return base
+    # jsonsha / default: sha of the literal string
+    sha = get_sha(raw)
+    return Identifier(unique_id=sha, identifier_type=JSON_SHA, json_sha=sha)
 
 
 def graph_urn(bucket: str, source: str, sha: str) -> str:

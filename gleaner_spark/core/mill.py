@@ -77,6 +77,20 @@ def mill(jsonld: str | dict, doc_sha: str, graph_urn: str) -> list[QuadRow]:
     return rows
 
 
+def term_to_nq_rows(quads: list[Quad]) -> list[QuadRow]:
+    """Serialize skolemized quads to QuadRows (graph filled by caller —
+    it's a plain column expression on the Spark side)."""
+    return [
+        QuadRow(
+            subject=term_to_nq(q.s),
+            predicate=term_to_nq(q.p),
+            object=term_to_nq(q.o),
+            graph="",
+        )
+        for q in quads
+    ]
+
+
 def mill_nquads(jsonld: str | dict, doc_sha: str) -> str:
     """n-quads text for one doc (the ``milled/{source}/{sha}.rdf`` body)."""
     doc = json.loads(jsonld) if isinstance(jsonld, (str, bytes)) else jsonld

@@ -41,6 +41,14 @@ def extract_jsonld_udf(html: pd.Series, url: pd.Series) -> pd.Series:
     return pd.Series([one(h, u) for h, u in zip(html, url)])
 
 
+_QUAD_FIELDS = T.StructType(
+    [
+        T.StructField("subject", T.StringType()),
+        T.StructField("predicate", T.StringType()),
+        T.StructField("object", T.StringType()),
+    ]
+)
+
 PROCESS_SCHEMA = T.StructType(
     [
         T.StructField("jsonld_fixed", T.StringType()),
@@ -52,6 +60,7 @@ PROCESS_SCHEMA = T.StructType(
         T.StructField("json_sha", T.StringType()),
         T.StructField("norm_sha256", T.StringType()),
         T.StructField("raw_sha1", T.StringType()),
+        T.StructField("quads", T.ArrayType(_QUAD_FIELDS)),
     ]
 )
 
@@ -64,27 +73,23 @@ def process_doc_udf(
     identifier_path: pd.Series,
 ) -> pd.DataFrame:
     """Fix-ups (P3-P7) + validity (P2) + identifier cascade (H1-H4) +
-    north-rule sha256 graph id, in one Arrow batch pass."""
+    north-rule sha256 graph id + milled quads (R1-R3), in one Arrow batch
+    pass with ONE JSON-LD expansion and ONE URDNA2015 canonicalization
+    per doc (core/process.py — the two-pass layout re-expanded every doc
+    in the mill stage and doubled the pipeline's dominant Python cost)."""
+    from ..core.process import process_document
+
     rows = []
     for raw, fix_opt, id_type, id_path in zip(
         jsonld, fix_option, identifier_type, identifier_path
     ):
-        raw_sha1 = core_ids.get_sha(raw)
-        try:
-            fixed = fix_all(raw, fix_opt or "https")
-            ident = core_ids.generate_identifier(
-                fixed, id_type or "jsonsha", id_path or ""
-            )
-            if ident.error:
-                raise ValueError(ident.error)
-            norm256 = core_ids.norm_sha256(fixed)
-            rows.append(
-                (fixed, True, None, ident.unique_id, ident.identifier_type,
-                 ident.matched_path, ident.json_sha, norm256, raw_sha1)
-            )
-        except Exception as e:  # invalid JSON / JSON-LD → filtered, like isValid
-            rows.append((raw, False, f"{type(e).__name__}: {e}", None, None,
-                         None, None, None, raw_sha1))
+        p = process_document(raw, fix_opt, id_type, id_path)
+        rows.append(
+            (p.jsonld_fixed, p.valid, p.error, p.doc_sha1, p.id_type,
+             p.matched_path, p.json_sha, p.norm_sha256, p.raw_sha1,
+             [(q.subject, q.predicate, q.object) for q in p.quads]
+             if p.valid else None)
+        )
     return pd.DataFrame(
         rows, columns=[f.name for f in PROCESS_SCHEMA.fields]
     )

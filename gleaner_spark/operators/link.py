@@ -229,12 +229,61 @@ def connected_components(
 
 def sameas_map(triples: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
     """(entity, canonical) for every linked entity whose canonical id
-    differs — the rewrite map."""
+    differs — the rewrite map.
+
+    Two-level clustering: (1) EXACT-name pre-clustering — every entity
+    whose normalized name is identical maps to one representative via a
+    plain groupBy (scales to any corpus; identical-name blank-node
+    mentions are the dominant duplicate class in harvested metadata and
+    previously flooded LSH buckets past MAX_BUCKET, silently dropping
+    recall); (2) MinHash-LSH + connected components over the DISTINCT
+    names only — the expensive quadratic-ish machinery runs on the
+    distinct-name universe, which grows sub-linearly with the corpus.
+    Canonical ids propagate representative → component → every member."""
+    from ..plans.pipeline import _timed
+
     mentions = entity_mentions(triples)
-    edges = lsh_candidate_pairs(mentions, threshold=threshold)
-    components = connected_components(edges)
-    return components.filter(F.col("entity") != F.col("component")).select(
-        "entity", F.col("component").alias("canonical")
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("name")), r"[^a-z0-9]+", " ")
+    )
+    named = mentions.select("entity", norm.alias("name_norm")).filter(
+        F.length("name_norm") > 0
+    )
+    # named feeds groups AND members AND (via groups) rep_canon — without
+    # a barrier the mention scan (2 passes over triples + a distinct +
+    # a semi-join) re-runs per consumer; the frame itself is tiny
+    named = named.localCheckpoint(eager=True)
+    # (1) exact groups: representative = min entity id per name_norm
+    groups = named.groupBy("name_norm").agg(F.min("entity").alias("rep"))
+    members = named.join(groups, "name_norm").select(
+        "entity", "rep", "name_norm"
+    )
+
+    # (2) LSH + CC over the distinct names, keyed by representative
+    reps = groups.select(
+        F.col("rep").alias("entity"), F.col("name_norm").alias("name")
+    )
+    with _timed("link.lsh_pairs"):
+        edges = lsh_candidate_pairs(reps, threshold=threshold).localCheckpoint(
+            eager=True
+        )
+    with _timed("link.cc"):
+        components = connected_components(edges).localCheckpoint(eager=True)
+
+    # rep → component canonical (reps not in any component keep themselves)
+    rep_canon = (
+        groups.join(
+            components.withColumnRenamed("entity", "rep"), "rep", "left"
+        )
+        .select(
+            "name_norm",
+            F.coalesce("component", "rep").alias("canonical"),
+        )
+    )
+    return (
+        members.join(rep_canon, "name_norm")
+        .filter(F.col("entity") != F.col("canonical"))
+        .select("entity", "canonical")
     )
 
 
@@ -260,8 +309,16 @@ def canonicalize_triples(triples: DataFrame, sameas: DataFrame) -> DataFrame:
 
 def link_stage(triples: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
     """S4 wrapper: compute the sameAs map and canonicalize, appending
-    owl:sameAs triples that record the link decisions."""
-    sameas = sameas_map(triples, threshold)
+    owl:sameAs triples that record the link decisions.
+
+    The sameAs map is consumed three times (subject rewrite, object
+    rewrite, sameAs-triple emission) — checkpoint it so the LSH + CC
+    machinery runs once.  Callers should pass a materialized ``triples``
+    (see plans/pipeline.py): the linker scans it multiple times."""
+    from ..plans.pipeline import _timed
+
+    with _timed("link.sameas_map"):
+        sameas = sameas_map(triples, threshold).localCheckpoint(eager=True)
     canon = canonicalize_triples(triples, sameas)
     sameas_triples = sameas.select(
         F.col("entity").alias("subject"),

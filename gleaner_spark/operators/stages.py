@@ -117,6 +117,7 @@ def normalize_stage(blocks: DataFrame) -> DataFrame:
         F.col("proc.json_sha").alias("json_sha"),
         F.col("proc.norm_sha256").alias("norm_sha256"),
         F.col("proc.raw_sha1").alias("raw_sha1"),
+        F.col("proc.quads").alias("quads"),
     )
 
 
@@ -148,10 +149,18 @@ def mill_stage(docs: DataFrame, bucket: str = DEFAULT_BUCKET) -> DataFrame:
 
     Graph URN ``urn:{bucket}:{source}:{sha}`` (prov.go:96) — sha is the
     north-rule SHA-256 of the normalized doc; ``doc_sha1`` stays on the
-    docs table for reference parity."""
-    milled = docs.withColumn(
-        "quads", mill_udf(F.col("jsonld_fixed"), F.col("doc_sha1"))
-    )
+    docs table for reference parity.
+
+    If the docs frame already carries a ``quads`` column (the fused
+    process UDF, core/process.py), the explode is a pure JVM op — no
+    second Python pass, no re-expansion.  Otherwise the standalone mill
+    UDF runs (single-doc probes, org graphs, external docs tables)."""
+    if "quads" in docs.columns:
+        milled = docs
+    else:
+        milled = docs.withColumn(
+            "quads", mill_udf(F.col("jsonld_fixed"), F.col("doc_sha1"))
+        )
     return (
         milled.select(
             "source", "doc_sha1", "norm_sha256",

@@ -13,9 +13,36 @@ Iceberg catalog unchanged; see sources/tables.py).
 from __future__ import annotations
 
 import os
+import sys
+import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+@contextmanager
+def _timed(stage: str):
+    """Opt-in stage timing (GLEANER_STAGE_TIMING=1): wall seconds per
+    pipeline stage to stderr — the first tool to reach for when a run's
+    CPU utilization looks wrong."""
+    if os.environ.get("GLEANER_STAGE_TIMING") != "1":
+        yield
+        return
+
+    def forks() -> int:
+        try:
+            with open("/proc/stat") as f:
+                return int(f.read().split("processes")[1].split()[0])
+        except Exception:
+            return 0
+
+    t0, f0 = time.time(), forks()
+    yield
+    print(
+        f"[stage] {stage}: {time.time() - t0:.1f}s forks={forks() - f0}",
+        file=sys.stderr, flush=True,
+    )
 
 from ..operators import manifest as mf
 from ..operators.link import link_stage
@@ -63,6 +90,28 @@ def _write(df: DataFrame, base: str, name: str,
     w.parquet(os.path.join(base, name))
 
 
+def _persist(df: DataFrame, base: str, name: str,
+             partition_by: list[str] | None = None,
+             mode: str = "overwrite") -> DataFrame:
+    """Write the stage output and return a DataFrame reading it back —
+    ONE materialization pass per stage (localCheckpoint + write was two),
+    and downstream stages scan columnar parquet with pruning instead of
+    the row-format checkpoint blocks.  In diff mode only the delta was
+    computed, so the delta alone is returned for downstream stages (the
+    table on disk still accumulates)."""
+    if mode == "append":
+        # diff runs: the table on disk accumulates prior runs, but
+        # downstream stages must see only this run's delta — checkpoint
+        # the delta (second pass unavoidable here; deltas are small)
+        df = df.localCheckpoint(eager=True)
+        _write(df, base, name, partition_by, mode)
+        return df
+    _write(df, base, name, partition_by, mode)
+    return df.sparkSession.read.parquet(os.path.join(base, name)).select(
+        *df.columns
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -91,16 +140,28 @@ def run_pipeline(
     # downstream stages never re-run the UDFs of an earlier one.
     write_mode = "append" if cfg.mode == "diff" else "overwrite"
 
-    # S1 extract — persist blocks + manifest + lineage
-    blocks = extract_stage(pages).localCheckpoint(eager=True)
-    _write(blocks, base, "blocks", ["source"], write_mode)
-    mf.write_manifest(mf.build_extract_manifest(blocks, cfg.run_id), base)
-    partition_lineage(blocks, cfg.run_id, "extract").write.mode("append").parquet(
-        os.path.join(base, "lineage")
-    )
+    # S1 extract — persist blocks + manifest + lineage.
+    # Intermediate tables (blocks/processed/docs) are written WITHOUT
+    # partitionBy(source): a 40%-mega-domain source dir bakes skew into
+    # every read-back, and AQE-coalesced shuffles otherwise leave a
+    # handful of 64 MB files whose row groups bound downstream UDF
+    # parallelism at ~8 tasks.  Only the query-facing triples table is
+    # source-partitioned (partition pruning is worth it there).
+    with _timed("extract"):
+        blocks = _persist(extract_stage(pages), base, "blocks", None,
+                          write_mode)
+    with _timed("extract.manifest+lineage"):
+        mf.write_manifest(mf.build_extract_manifest(blocks, cfg.run_id), base)
+        partition_lineage(blocks, cfg.run_id, "extract").write.mode(
+            "append"
+        ).parquet(os.path.join(base, "lineage"))
 
-    # S2 normalize + dedup — persist docs
-    docs_all = normalize_stage(blocks)
+    # S2 normalize — persist the full per-block result ONCE (valid +
+    # invalid rows); dedup and stats both derive from the read-back, so
+    # the expensive pyld UDF runs exactly one pass over the data
+    with _timed("normalize"):
+        docs_all = _persist(normalize_stage(blocks), base, "processed",
+                            None, write_mode)
     docs = dedup_docs(docs_all)
     if cfg.mode == "diff":
         # cross-run content dedup: drop docs whose sha an earlier run
@@ -110,14 +171,16 @@ def run_pipeline(
             docs = docs.join(prior.select("doc_sha1"), "doc_sha1", "left_anti")
         except Exception:
             pass
-    docs = docs.localCheckpoint(eager=True)
-    _write(docs, base, "docs", ["source"], write_mode)
-    mf.write_manifest(mf.build_docs_manifest(docs, cfg.run_id), base)
-    partition_lineage(docs, cfg.run_id, "normalize").write.mode("append").parquet(
-        os.path.join(base, "lineage")
-    )
+    with _timed("dedup"):
+        docs = _persist(docs, base, "docs", None, write_mode)
+    with _timed("dedup.manifest+lineage"):
+        mf.write_manifest(mf.build_docs_manifest(docs, cfg.run_id), base)
+        partition_lineage(docs, cfg.run_id, "normalize").write.mode(
+            "append"
+        ).parquet(os.path.join(base, "lineage"))
 
-    # S3 mill
+    # S3 mill — with the fused process UDF the quads already sit on the
+    # docs table; the mill is a pure JVM explode + graph-URN concat.
     triples = mill_stage(docs, cfg.bucket)
 
     # R4 org graphs union in (full runs only — a resumed run would
@@ -126,27 +189,44 @@ def run_pipeline(
     if sources_dim is not None and cfg.mode != "diff":
         triples = triples.unionByName(org_triples(sources_dim, cfg.bucket))
 
-    # S4 entity linking
+    # Persist raw (pre-linking) triples — the reference's ``milled/``
+    # prefix as a table — and CACHE the read-back: the linker scans the
+    # relation ~5 times (mention scan, type scan, subject/object
+    # rewrites, union) and re-decompressing parquet per scan measured
+    # 2.5× slower than memory-resident scans.
+    with _timed("mill"):
+        triples = _persist(triples, base, "raw_triples", None, write_mode)
+
+    # S4 entity linking (cache released after the final materialize)
+    raw_cached = None
     if cfg.link_entities:
-        triples = link_stage(triples)
+        raw_cached = triples = triples.persist()
+        with _timed("link"):
+            triples = link_stage(triples)
 
     # S5 materialize
-    triples = materialize_triples(triples).localCheckpoint(eager=True)
-    _write(triples, base, "triples", ["source"], write_mode)
-    partition_lineage(triples, cfg.run_id, "materialize").write.mode(
-        "append"
-    ).parquet(os.path.join(base, "lineage"))
+    with _timed("materialize"):
+        triples = _persist(materialize_triples(triples), base, "triples",
+                           ["source"], write_mode)
+    if raw_cached is not None:
+        raw_cached.unpersist()
+    with _timed("materialize.lineage"):
+        partition_lineage(triples, cfg.run_id, "materialize").write.mode(
+            "append"
+        ).parquet(os.path.join(base, "lineage"))
 
     # R5 prov lineage rows
-    prov_lineage(docs.filter(F.col("valid")), sources_dim, cfg.run_id,
-                 cfg.bucket).write.mode(write_mode).parquet(
-        os.path.join(base, "prov")
-    )
+    with _timed("prov"):
+        prov_lineage(docs.filter(F.col("valid")), sources_dim, cfg.run_id,
+                     cfg.bucket).write.mode(write_mode).parquet(
+            os.path.join(base, "prov")
+        )
 
     stats = None
     if cfg.write_stats:
-        stats = run_stats(blocks, docs_all)
-        _write(stats, base, "stats")
+        with _timed("stats"):
+            stats = run_stats(blocks, docs_all)
+            _write(stats, base, "stats")
 
     return PipelineResult(
         blocks=blocks, docs=docs, triples=triples, stats=stats,

@@ -40,13 +40,22 @@ def build_session(
         # Arrow transfer for pandas UDFs (the extract/normalize/mill hot path)
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
-        # 128 MiB input splits: html-heavy pages parquet stays memory-safe
-        "spark.sql.files.maxPartitionBytes": "134217728",
+        # 16 MiB input splits: the pipeline's scans feed pandas-UDF stages
+        # whose per-byte compute dwarfs scan cost — at the parquet default
+        # (128 MiB) a 500 MB docs table becomes 4 tasks and the mill UDF
+        # runs on 4 of N cores.  Small splits cost nothing here and keep
+        # UDF stages saturated at any executor count.
+        "spark.sql.files.maxPartitionBytes": "16777216",
         # broadcast threshold: the sources dim / sameAs maps at test scale
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         "spark.sql.session.timeZone": "UTC",
         "spark.ui.enabled": "false",
-        "spark.driver.memory": "8g",
+        # local mode: the driver heap IS the executor heap for all N task
+        # threads — size it for concurrent shuffle + Arrow buffers (8g
+        # measured GC-bound at local[32] on GB-scale inputs; the sandbox
+        # has 128 GiB).  Applies only when this process launches the JVM;
+        # under spark-submit the submitted conf wins.
+        "spark.driver.memory": "48g",
     }
     if extra_conf:
         conf.update(extra_conf)

@@ -166,21 +166,84 @@ PAGE_TEMPLATE = (
     "</body></html>"
 )
 
+_VOCAB = (
+    "spark batch line column order small sort fast value scan hash slow "
+    "group agg filter query big key window row part table stream merge "
+    "data vector customer supplier region nation harvest graph triple "
+    "entity schema dataset corpus shard executor shuffle"
+).split()
 
-def page_row(i: int) -> dict:
+
+def _filler(i: int, n_words: int) -> str:
+    """Deterministic ~n_words filler text (md5-stream indexed into the
+    vocab) — makes heavy pages compress like real prose, not zeros."""
+    out = []
+    block_idx = 0
+    while len(out) < n_words:
+        h = hashlib.md5(f"body:{i}:{block_idx}".encode()).digest()
+        out.extend(_VOCAB[b % len(_VOCAB)] for b in h)
+        block_idx += 1
+    return " ".join(out[:n_words])
+
+
+def heavy_dataset_doc(i: int, host: str) -> dict:
+    """Realistic-size schema.org Dataset (~3-6 KB JSON, ~60-90 triples):
+    nested creators/distribution/variableMeasured lists — the pyld
+    expansion + URDNA2015 cost profile of real harvested metadata."""
+    doc = dataset_doc(i, host)
+    doc["description"] = _filler(i, 200)
+    doc["keywords"] = [f"kw-{(i + j) % 97}" for j in range(10)]
+    doc["creator"] = [
+        {"@type": "Person", "name": f"Author {(i + k) % 500}",
+         "affiliation": {"@type": "Organization", "name": org_mention(i)[0]}}
+        for k in range(3)
+    ]
+    doc["distribution"] = [
+        {"@type": "DataDownload",
+         "contentUrl": f"https://{host}/files/{i}/{k}.csv",
+         "encodingFormat": "text/csv"}
+        for k in range(2)
+    ]
+    doc["variableMeasured"] = [
+        {"@type": "PropertyValue", "name": f"var{k}", "unitText": "m"}
+        for k in range(5)
+    ]
+    return doc
+
+
+def page_row(i: int, profile: str = "light") -> dict:
+    """profile='light': ~1 KB pages (fast unit tests).  profile='heavy':
+    ~20-40 KB pages with realistic JSON-LD — Common-Crawl-shaped rows for
+    throughput/scaling benchmarks (real pages average tens of KB; at
+    ~1 KB the pipeline is scheduler-bound and parallelism can't show)."""
     cls = row_class(i)
     host = host_for(i)
     lang = LANGS[i % len(LANGS)]
     ts = EPOCH + timedelta(seconds=i)
-    body = f"Deterministic synthetic page {i} hosted on {host}."
+    heavy = profile == "heavy"
+    if heavy:
+        body = _filler(i, 3000 + (i % 7) * 500)
+        make_doc = heavy_dataset_doc
+    else:
+        body = f"Deterministic synthetic page {i} hosted on {host}."
+        make_doc = dataset_doc
     if cls == "rawjson":
         url = f"https://{host}/data/{i}.jsonld"
-        html = json.dumps(dataset_doc(i, host), sort_keys=True, indent=1)
+        html = json.dumps(make_doc(i, host), sort_keys=True, indent=1)
     else:
         url = f"https://{host}/page/{i}"
+        blocks = jsonld_blocks(i)
+        if heavy:
+            blocks = [json.dumps(make_doc(i, host), sort_keys=True)
+                      if j == 0 and cls in ("one", "multi") else b
+                      for j, b in enumerate(blocks)]
+            if cls == "dup":
+                base = i - (i % 100) + (i % 10)
+                blocks = [json.dumps(make_doc(base, host_for(base)),
+                                     sort_keys=True)]
         scripts = "".join(
             f'<script type="application/ld+json">{b}</script>'
-            for b in jsonld_blocks(i)
+            for b in blocks
         )
         html = PAGE_TEMPLATE.format(i=i, scripts=scripts, body=body)
     return {
@@ -192,10 +255,12 @@ def page_row(i: int) -> dict:
     }
 
 
-def gen_pages_pandas(n: int, start: int = 0):
+def gen_pages_pandas(n: int, start: int = 0, profile: str = "light"):
     import pandas as pd
 
-    return pd.DataFrame([page_row(i) for i in range(start, start + n)])
+    return pd.DataFrame(
+        [page_row(i, profile) for i in range(start, start + n)]
+    )
 
 
 PAGES_SCHEMA = (
@@ -203,7 +268,8 @@ PAGES_SCHEMA = (
 )
 
 
-def gen_pages_spark(spark, n: int, partitions: int = 32):
+def gen_pages_spark(spark, n: int, partitions: int = 32,
+                    profile: str = "light"):
     """Distributed generation: spark.range → mapInPandas.  Content is a
     pure function of the row id, so any partitioning yields the same
     table — generation scales with executors like a real Iceberg scan."""
@@ -213,7 +279,9 @@ def gen_pages_spark(spark, n: int, partitions: int = 32):
         import pandas as pd
 
         for pdf in batches:
-            yield pd.DataFrame([page_row(int(i)) for i in pdf["id"]])
+            yield pd.DataFrame(
+                [page_row(int(i), profile) for i in pdf["id"]]
+            )
 
     return rng.mapInPandas(gen, schema=PAGES_SCHEMA)
 

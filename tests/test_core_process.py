@@ -1,0 +1,71 @@
+"""Fused per-document processing (core/process.py) must be
+byte-identical to composing the individual core functions — same
+identifiers, same sha256 graph ids, same skolemized quads — across every
+document variant in the synthetic corpus (all context-fix cases,
+identifier types, invalid docs, raw-JSON pages)."""
+
+from __future__ import annotations
+
+import pytest
+
+from gleaner_spark.core import extract as ce
+from gleaner_spark.core import ids as ci
+from gleaner_spark.core import mill as cm
+from gleaner_spark.core.contextfix import fix_all
+from gleaner_spark.core.process import process_document
+from gleaner_spark.sources.pages import page_row, sources_rows
+
+
+def _cases(n=200):
+    host_cfg = {r["domain"]: r for r in sources_rows() if r["active"]}
+    for i in range(n):
+        row = page_row(i)
+        cfg = host_cfg.get(row["url"].split("/")[2], {})
+        for b in ce.extract_jsonld_strings(row["html"].decode(), row["url"]):
+            yield (
+                b,
+                cfg.get("fixcontextoption", "https"),
+                cfg.get("identifiertype", "jsonsha"),
+                cfg.get("identifierpath", ""),
+            )
+
+
+def test_fused_matches_composed_over_corpus():
+    checked = 0
+    for raw, fix_opt, id_type, id_path in _cases():
+        p = process_document(raw, fix_opt, id_type, id_path)
+        try:
+            fixed = fix_all(raw, fix_opt)
+            ident = ci.generate_identifier(fixed, id_type, id_path)
+            ok = not ident.error
+        except Exception:
+            ok = False
+        assert p.valid == ok, (raw[:80], p.error)
+        if not ok:
+            continue
+        assert p.jsonld_fixed == fixed
+        assert p.doc_sha1 == ident.unique_id
+        assert p.id_type == ident.identifier_type
+        assert (p.matched_path or "") == (ident.matched_path or "")
+        assert p.json_sha == ident.json_sha
+        assert p.norm_sha256 == ci.norm_sha256(fixed)
+        old = [(q.subject, q.predicate, q.object)
+               for q in cm.mill(fixed, ident.unique_id, "")]
+        new = [(q.subject, q.predicate, q.object) for q in p.quads]
+        assert old == new
+        checked += 1
+    assert checked > 150
+
+
+def test_invalid_doc_returns_error():
+    p = process_document('{"@context": "https://schema.org/", broken')
+    assert not p.valid and p.error and p.quads == []
+    assert p.raw_sha1
+
+
+def test_identifier_string_type_passthrough():
+    doc = ('{"@context": {"@vocab": "https://schema.org/"}, '
+           '"@id": "https://x.org/1", "@type": "Dataset", "name": "d"}')
+    p = process_document(doc, "https", "identifierstring", "")
+    q = ci.generate_identifier(fix_all(doc, "https"), "identifierstring", "")
+    assert p.doc_sha1 == q.unique_id and p.id_type == q.identifier_type
