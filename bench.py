@@ -57,6 +57,9 @@ def _prepare_corpus(n_pages: int, profile: str) -> str:
     """Generate the deterministic page corpus to parquet ONCE (untimed):
     the benchmarked job reads a Common-Crawl-shaped table exactly as the
     input_hint prescribes — generation cost stays out of the timing."""
+    override = os.environ.get("BENCH_CORPUS_DIR")
+    if override:
+        return override
     key = (n_pages, profile)
     if key in _CORPUS_CACHE:
         return _CORPUS_CACHE[key]

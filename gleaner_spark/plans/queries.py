@@ -958,6 +958,97 @@ select v as node, min(u) as component from reach group by v
 """.replace("with edges_raw", "with recursive edges_raw")
 
 
+def q_kg_nquads_export(spark, sf_dir):
+    """S12 byte-compat export: serialize (s,p,o,graph-as-nq-line) —
+    the reference's results/{runid}/{source}_graph.nq body, one row per
+    line, deterministically ordered (SURVEY.md J9: reference order is
+    unspecified listing order; we sort)."""
+    from ..operators.stages import extract_stage, mill_stage, normalize_stage, with_source
+
+    pages = _kg_pages(spark, sf_dir)
+    docs = normalize_stage(extract_stage(with_source(pages, None))).filter(
+        F.col("valid")
+    )
+    triples = mill_stage(docs, bucket="gleaner")
+    return triples.select(
+        F.concat_ws(
+            " ", "subject", "predicate", "object",
+            F.concat(F.lit("<"), "graph", F.lit(">")), F.lit(".")
+        ).alias("nq_line")
+    )
+
+
+O_KG_NQUADS = f"""
+with d as (select doc_id, source, lang from documents where doc_id < {KG_DOC_LIMIT}),
+ids as (select concat('<https://example.org/doc/', cast(doc_id as varchar), '>') as s,
+               concat('<urn:gleaner:', source, '.example.org:',
+                      sha256(concat(
+  '<https://example.org/doc/', cast(doc_id as varchar), '>',
+  ' <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <https://schema.org/Dataset> .', chr(10),
+  '<https://example.org/doc/', cast(doc_id as varchar), '>',
+  ' <https://schema.org/about> "', source, '" .', chr(10),
+  '<https://example.org/doc/', cast(doc_id as varchar), '>',
+  ' <https://schema.org/inLanguage> "', lang, '" .', chr(10),
+  '<https://example.org/doc/', cast(doc_id as varchar), '>',
+  ' <https://schema.org/name> "Doc ', cast(doc_id as varchar), '" .', chr(10))),
+                      '>') as g,
+               doc_id, source, lang from d)
+select concat(s, ' <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <https://schema.org/Dataset> ', g, ' .') as nq_line from ids
+union all
+select concat(s, ' <https://schema.org/name> "Doc ', cast(doc_id as varchar), '" ', g, ' .') from ids
+union all
+select concat(s, ' <https://schema.org/about> "', source, '" ', g, ' .') from ids
+union all
+select concat(s, ' <https://schema.org/inLanguage> "', lang, '" ', g, ' .') from ids
+"""
+
+
+def q_kg_shape_validation(spark, sf_dir):
+    """V1 (SHACL-lite): per-graph shape conformance — a NodeShape
+    requiring every Dataset node to carry schema:name and
+    schema:inLanguage (the reference POSTs datagraph+shapegraph to an
+    external Tangram service, tangramCall.go:121-180; disabled in its
+    main path.  pyshacl is absent in this container, so the shape is
+    evaluated relationally: group per subject, check required predicate
+    set — the evaluation strategy a 100 TB deployment would want anyway,
+    since per-doc SHACL engines don't vectorize)."""
+    from ..operators.stages import extract_stage, mill_stage, normalize_stage, with_source
+
+    pages = _kg_pages(spark, sf_dir)
+    docs = normalize_stage(extract_stage(with_source(pages, None))).filter(
+        F.col("valid")
+    )
+    triples = mill_stage(docs, bucket="gleaner")
+    typed = triples.filter(
+        (F.col("predicate") == "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>")
+        & (F.col("object") == "<https://schema.org/Dataset>")
+    ).select("subject").distinct()
+    props = (
+        triples.join(typed, "subject", "left_semi")
+        .groupBy("subject")
+        .agg(
+            F.max(
+                (F.col("predicate") == "<https://schema.org/name>").cast("int")
+            ).alias("has_name"),
+            F.max(
+                (F.col("predicate") == "<https://schema.org/inLanguage>").cast("int")
+            ).alias("has_lang"),
+        )
+    )
+    return props.select(
+        "subject",
+        (F.col("has_name") + F.col("has_lang") == 2).alias("conforms"),
+    )
+
+
+O_KG_SHAPE = f"""
+with d as (select doc_id from documents where doc_id < {KG_DOC_LIMIT})
+select concat('<https://example.org/doc/', cast(doc_id as varchar), '>') as subject,
+       true as conforms
+from d
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal metadata (binary payload plumbing; decode is a typed stub)
 # ---------------------------------------------------------------------------
@@ -1127,6 +1218,8 @@ QUERIES: dict[str, tuple] = {
     # KG pipeline end-to-end
     "kg_extract_mill": (q_kg_extract_mill, O_KG_EXTRACT_MILL),
     "kg_graph_urn": (q_kg_graph_urn, O_KG_GRAPH_URN),
+    "kg_nquads_export": (q_kg_nquads_export, O_KG_NQUADS),
+    "kg_shape_validation": (q_kg_shape_validation, O_KG_SHAPE),
     "entity_cc": (q_entity_cc, O_ENTITY_CC),
     # multimodal metadata + streaming + non-SQL ops
     "multimodal_meta": (q_multimodal_meta, O_MULTIMODAL_META),
