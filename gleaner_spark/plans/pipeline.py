@@ -30,17 +30,24 @@ def _timed(stage: str):
         yield
         return
 
-    def forks() -> int:
+    def snap() -> tuple[int, int]:
         try:
             with open("/proc/stat") as f:
-                return int(f.read().split("processes")[1].split()[0])
+                txt = f.read()
+            v = list(map(int, txt.split("\n")[0].split()[1:]))
+            busy = sum(v) - v[3] - v[4]
+            forks = int(txt.split("processes")[1].split()[0])
+            return busy, forks
         except Exception:
-            return 0
+            return 0, 0
 
-    t0, f0 = time.time(), forks()
+    t0, (b0, f0) = time.time(), snap()
     yield
+    b1, f1 = snap()
+    hz = os.sysconf("SC_CLK_TCK")
     print(
-        f"[stage] {stage}: {time.time() - t0:.1f}s forks={forks() - f0}",
+        f"[stage] {stage}: {time.time() - t0:.1f}s"
+        f" core_s={(b1 - b0) / hz:.0f} forks={f1 - f0}",
         file=sys.stderr, flush=True,
     )
 

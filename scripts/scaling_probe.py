@@ -42,13 +42,27 @@ def main():
     pages = int(sys.argv[2])
     profile = sys.argv[3] if len(sys.argv) > 3 else "heavy"
 
+    # Pin this process tree to `cores` host cpus BEFORE the JVM launches
+    # (children inherit affinity at fork) — an unpinned local[N] run
+    # leaks GC/shuffle/python-worker work onto every host cpu.
+    if hasattr(os, "sched_setaffinity") and not os.environ.get(
+        "SCALING_PROBE_NO_PIN"
+    ):
+        avail = sorted(os.sched_getaffinity(0))
+        os.sched_setaffinity(0, set(avail[:cores]))
+
     import bench
 
     stop = threading.Event()
     samples: list[float] = []
     t = threading.Thread(target=cpu_sampler, args=(stop, samples), daemon=True)
     t.start()
-    r = bench._run_pipeline(cores, pages, shuffle_partitions=max(cores, 8),
+    # 3× cores shuffle partitions: with exactly `cores` partitions one
+    # straggler stalls a whole wave (measured 49% utilization in the
+    # materialize stage); smaller tasks smooth the tail and AQE coalesces
+    # any that end up tiny.
+    r = bench._run_pipeline(cores, pages,
+                            shuffle_partitions=max(cores * 3, 8),
                             profile=profile)
     stop.set()
     n = max(len(samples), 1)
