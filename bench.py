@@ -164,7 +164,7 @@ def _run_pipeline(cores: int, n_pages: int, shuffle_partitions: int,
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_pages = int(os.environ.get("BENCH_PAGES", "4000"))
+    n_pages = int(os.environ.get("BENCH_PAGES", "24000"))
     do_scaling = os.environ.get("BENCH_SCALING", "0") == "1"
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -204,7 +204,18 @@ def main() -> int:
         "sf": sf,
     }
 
-    pipe_hi = _run_pipeline(cores, n_pages, shuffle_partitions=cores)
+    # Pipeline throughput measured pinned at 16 cpus in a fresh process:
+    # this VM is reproducible up to ~16 of its 32 vCPUs (2-3x run-to-run
+    # variance above that from host contention) and pinning keeps the
+    # number comparable across rounds.
+    pipe_cores = min(int(os.environ.get("BENCH_PIPELINE_CORES", "16")),
+                     cores)
+    corpus = _prepare_corpus(n_pages, "heavy")
+    os.environ["BENCH_CORPUS_DIR"] = corpus
+    pipe_hi = _run_pipeline_pinned(pipe_cores, n_pages)
+    os.environ.pop("BENCH_CORPUS_DIR", None)
+    if pipe_hi is None:
+        pipe_hi = _run_pipeline(cores, n_pages, shuffle_partitions=cores)
     result["pipeline"] = pipe_hi
     result["pages_per_sec"] = pipe_hi["pages_per_sec"]
 
@@ -213,8 +224,8 @@ def main() -> int:
         # _run_pipeline_pinned) at BENCH_SCALING_CORES and 4× that,
         # over one shared pre-generated corpus.  Pre-generate it here so
         # neither timed subprocess pays generation.
-        scaling_pages = int(os.environ.get("BENCH_SCALING_PAGES", "240000"))
-        hi_cores = int(os.environ.get("BENCH_SCALING_CORES", "16"))
+        scaling_pages = int(os.environ.get("BENCH_SCALING_PAGES", "480000"))
+        hi_cores = int(os.environ.get("BENCH_SCALING_CORES", "8"))
         lo_cores = max(hi_cores // 4, 1)
         corpus = _prepare_corpus(scaling_pages, "heavy")
         os.environ["BENCH_CORPUS_DIR"] = corpus
