@@ -565,6 +565,9 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     sh = d.select(
         "doc_id", F.expr(_shingles_sql("text", False)).alias("shingles")
     ).withColumn("n_sh", F.size("shingles"))
+    # sh feeds the inverted index AND both verification sides — barrier
+    # so the shingle expression computes once
+    sh = sh.localCheckpoint(eager=True)
 
     inv = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
     df_counts = inv.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -587,14 +590,22 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         )
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
+    sa = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"),
+                   F.col("n_sh").alias("na"))
+    sb = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"),
+                   F.col("n_sh").alias("nb"))
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
     return (
         cand.join(sa, "a")
         .join(sb, "b")
+        # length-ratio prune: J(A,B) ≥ t requires t·|B| ≤ |A| ≤ |B|/t —
+        # integer-size compare is far cheaper than the array intersection
+        .filter(
+            (F.col("na") >= F.ceil(F.lit(t) * F.col("nb")))
+            & (F.col("nb") >= F.ceil(F.lit(t) * F.col("na")))
+        )
         .withColumn("jaccard", F.round(jaccard, 4))
         .filter(F.col("jaccard") >= t)
         .select("a", "b", "jaccard")
