@@ -842,6 +842,105 @@ group by label, dim order by label, dim
 """
 
 
+def q_ann_ivf_probe(spark, sf_dir):
+    """IVF-style ANN: per-label centroids are the coarse quantizer; the
+    query probes its 2 nearest cells and brute-forces only inside them —
+    the candidate set shrinks by |cells|/nprobe, and at scale the cell id
+    becomes the partition key.  Fully JVM-side (posexplode + groupBy for
+    the centroid build, zip_with/aggregate cosine)."""
+    e = _load(spark, sf_dir, "embeddings")
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, m))),"
+                " x -> x.m)"
+            ).alias("centroid")
+        )
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    probed = (
+        cent.crossJoin(F.broadcast(q))
+        .withColumn("cdist", F.round(F.expr(_cosine_expr("centroid", "qv")), 6))
+        .orderBy(F.desc("cdist"), F.asc("label"))
+        .limit(2)
+        .select("label")
+    )
+    cands = e.join(F.broadcast(probed), "label").filter(F.col("vec_id") != 0)
+    scored = cands.crossJoin(F.broadcast(q)).withColumn(
+        "cos_sim", F.round(F.expr(_cosine_expr("embedding", "qv")), 6)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("label", "vec_id", "cos_sim", "rnk")
+    )
+
+
+O_ANN_IVF = """
+with cent as (
+  select label, list(m order by dim) as centroid from (
+    select label, dim, avg(v::DOUBLE) as m
+    from (select label, unnest(embedding) as v,
+                 generate_subscripts(embedding, 1) as dim
+          from embeddings)
+    group by label, dim
+  ) group by label
+),
+q as (select embedding::DOUBLE[] as qv from embeddings where vec_id = 0),
+probed as (
+  select label from cent, q
+  order by round(list_dot_product(centroid, qv)
+        / (sqrt(list_dot_product(centroid, centroid))
+           * sqrt(list_dot_product(qv, qv))), 6) desc, label asc
+  limit 2
+),
+scored as (
+  select e.label, e.vec_id,
+         round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) as cos_sim
+  from embeddings e join probed using (label), q
+  where e.vec_id <> 0
+)
+select label, vec_id, cos_sim, rnk from (
+  select label, vec_id, cos_sim,
+         row_number() over (order by cos_sim desc, vec_id asc) as rnk
+  from scored
+) where rnk <= 10
+"""
+
+
+def q_token_count_bpe(spark, sf_dir):
+    """BPE-ish tokenization: word pieces + individual punctuation via
+    regexp_extract_all — the subword-style token counter of
+    core/text.py:bpe_ish_tokens, as pure column expressions."""
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(
+            r"size(regexp_extract_all(text,"
+            r" '[A-Za-z0-9_]+|[^\\sA-Za-z0-9_]', 0))"
+        ).alias("n_bpe_tokens"),
+    )
+
+
+O_TOKEN_BPE = r"""
+select doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\sA-Za-z0-9_]'))
+         as n_bpe_tokens
+from documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries (drive the real UDF path; oracle reconstructs in SQL)
 # ---------------------------------------------------------------------------
@@ -1213,6 +1312,7 @@ QUERIES: dict[str, tuple] = {
     # text analysis
     "text_normalize": (q_text_normalize, O_TEXT_NORMALIZE),
     "token_count": (q_token_count, O_TOKEN_COUNT),
+    "token_count_bpe": (q_token_count_bpe, O_TOKEN_BPE),
     "quality_score": (q_quality_score, O_QUALITY),
     "lang_id": (q_lang_id, O_LANG_ID),
     "fingerprint_md5": (q_fingerprint, O_FINGERPRINT),
@@ -1226,6 +1326,7 @@ QUERIES: dict[str, tuple] = {
     "ann_topk_bruteforce": (q_ann_topk_bruteforce, O_ANN_TOPK),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, O_ANN_LSH),
     "embedding_centroids": (q_embedding_centroids, O_CENTROIDS),
+    "ann_ivf_probe": (q_ann_ivf_probe, O_ANN_IVF),
     # KG pipeline end-to-end
     "kg_extract_mill": (q_kg_extract_mill, O_KG_EXTRACT_MILL),
     "kg_graph_urn": (q_kg_graph_urn, O_KG_GRAPH_URN),
