@@ -115,6 +115,11 @@ def md5_minhash_signature(shingles: list[str], num_hashes: int = 16) -> list[str
     Portable: identical values from Python, Spark SQL and DuckDB.
     Empty shingle set → rotations of md5("") (stable sentinel).
     """
+    if not 1 <= num_hashes <= 16:
+        # 16 stride-2 rotations exist; i=16 ≡ identity (duplicate of i=0)
+        raise ValueError(
+            f"rotation MinHash supports 1..16 hashes, got {num_hashes}"
+        )
     hexes = [
         hashlib.md5(s.encode("utf-8")).hexdigest() for s in shingles
     ] or [hashlib.md5(b"").hexdigest()]

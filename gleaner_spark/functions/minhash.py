@@ -19,12 +19,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+#: md5("") — the stable empty-shingle-set sentinel digest whose rotations
+#: form the signature when an entity has no shingles (mirrors
+#: core.text.md5_minhash_signature's `or [md5(b"").hexdigest()]`).
+EMPTY_MD5 = "d41d8cd98f00b204e9800998ecf8427e"
+
+
 def minhash_frame(df: DataFrame, id_cols: list[str],
                   shingles_col: str = "shingles", k: int = 16) -> DataFrame:
     """(id_cols..., shingles: array<string>) → (id_cols..., mh:
-    array<string>[k]).  One shuffle (partial-agg min per rotation)."""
-    ex = df.select(*id_cols, F.explode(shingles_col).alias("s")).withColumn(
-        "h", F.md5("s")
+    array<string>[k]).  One shuffle (partial-agg min per rotation).
+
+    Rows with an empty/null shingle array are KEPT (explode_outer) and
+    get rotations of md5('') — matching the pure-Python sentinel, so the
+    'bit-identical' contract holds at the function boundary instead of
+    relying on upstream size(shingles)>0 guards.
+    """
+    if not 1 <= k <= 16:
+        # stride-2 rotations of a 32-hex digest give exactly 16 distinct
+        # hash functions; i=16 wraps to the identity and duplicates sig[0]
+        raise ValueError(f"rotation MinHash supports 1..16 hashes, got k={k}")
+    ex = df.select(*id_cols, F.explode_outer(shingles_col).alias("s")).withColumn(
+        "h", F.coalesce(F.md5("s"), F.lit(EMPTY_MD5))
     )
     mins = ex.groupBy(*id_cols).agg(
         *[

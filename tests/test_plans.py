@@ -88,6 +88,61 @@ def test_mill_explode_is_jvm_only(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def _iter_nodes(node):
+    """Walk a SparkPlan tree via py4j, descending through AQE wrappers."""
+    yield node
+    cls = node.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        yield from _iter_nodes(node.executedPlan())
+        return
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _iter_nodes(ch.apply(i))
+
+
+def _subtree_has_limit(node) -> bool:
+    bounded = {
+        "TakeOrderedAndProjectExec", "GlobalLimitExec", "LocalLimitExec",
+        "CollectLimitExec",
+    }
+    return any(
+        n.getClass().getSimpleName() in bounded for n in _iter_nodes(node)
+    )
+
+
+# queries whose construction starts a streaming job — audited elsewhere
+WINDOW_AUDIT_SKIP = {"streaming_event_counts", "streaming_incremental_kg"}
+
+
+def test_no_unbounded_unpartitioned_window(spark):
+    """Scale-killer guard (round-1 VERDICT #2): a Window with no
+    partitionBy moves EVERY input row to one partition.  Allowed only
+    when the input is already bounded by a limit (global top-k derives
+    its rank over the k-row TakeOrderedAndProject output)."""
+    offenders = []
+    for name, (fn, _oracle) in QUERIES.items():
+        if name in WINDOW_AUDIT_SKIP:
+            continue
+        df = fn(spark, SF)
+        root = df._jdf.queryExecution().executedPlan()
+        for node in _iter_nodes(root):
+            if node.getClass().getSimpleName() == "WindowExec" and \
+                    node.partitionSpec().isEmpty() and \
+                    not _subtree_has_limit(node):
+                offenders.append(name)
+    assert not offenders, (
+        f"unpartitioned Window over unbounded input in: {offenders}"
+    )
+
+
+def test_ann_topk_plans_as_take_ordered(spark):
+    """The brute-force and IVF top-k must plan as TakeOrderedAndProject
+    (per-partition heap + driver merge), not a corpus-wide Window sort."""
+    for name in ("ann_topk_bruteforce", "ann_ivf_probe"):
+        df = QUERIES[name][0](spark, SF)
+        assert "TakeOrderedAndProject" in _plan(df), name
+
+
 def test_minhash_on_codegen_path(spark):
     """The MinHash signature must be exploded-rows + partial-agg min —
     not interpreted higher-order functions over arrays."""

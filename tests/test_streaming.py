@@ -79,6 +79,62 @@ def test_incremental_stream_matches_batch_and_dedups(spark, feed_dirs):
     assert spark.read.parquet(os.path.join(out_dir, "docs")).count() == docs2.count()
 
 
+def test_batch_replay_is_idempotent(spark, feed_dirs):
+    """foreachBatch is at-least-once: replaying the same batch id (same
+    source files per the stream checkpoint) must leave the warehouse
+    byte-for-byte equivalent — batch-scoped overwrite sinks, not appends."""
+    from gleaner_spark.sources.pages import PAGES_SCHEMA, gen_pages_pandas
+    from gleaner_spark.streaming.incremental import _process_batch
+
+    _, out_dir = feed_dirs
+    src = gen_sources_spark(spark)
+    batch = spark.createDataFrame(gen_pages_pandas(80, start=0),
+                                  schema=PAGES_SCHEMA)
+    _process_batch(batch, 0, out_dir, src, "gleaner")
+    docs_n = spark.read.parquet(os.path.join(out_dir, "docs")).count()
+    tri_n = spark.read.parquet(os.path.join(out_dir, "triples")).count()
+    assert docs_n > 0 and tri_n > 0
+
+    # full replay of batch 0
+    _process_batch(batch, 0, out_dir, src, "gleaner")
+    assert spark.read.parquet(os.path.join(out_dir, "docs")).count() == docs_n
+    assert spark.read.parquet(os.path.join(out_dir, "triples")).count() == tri_n
+
+    # a LATER batch with duplicate content still content-dedups
+    dup = spark.createDataFrame(gen_pages_pandas(40, start=0),
+                                schema=PAGES_SCHEMA)
+    _process_batch(dup, 1, out_dir, src, "gleaner")
+    assert spark.read.parquet(os.path.join(out_dir, "docs")).count() == docs_n
+    assert spark.read.parquet(os.path.join(out_dir, "triples")).count() == tri_n
+
+
+def test_crash_between_sinks_recovers(spark, feed_dirs):
+    """Round-1 ADVICE failure mode: an attempt that persisted this
+    batch's docs but died before the triples write.  The replay must not
+    anti-join its own half-written batch away — triples must appear."""
+    from gleaner_spark.operators.stages import (
+        dedup_docs, extract_stage, normalize_stage, with_source,
+    )
+    from gleaner_spark.sources.pages import PAGES_SCHEMA, gen_pages_pandas
+    from gleaner_spark.streaming.incremental import _process_batch
+
+    _, out_dir = feed_dirs
+    src = gen_sources_spark(spark)
+    batch = spark.createDataFrame(gen_pages_pandas(60, start=0),
+                                  schema=PAGES_SCHEMA)
+    # simulate the poisoned state: docs of batch 0 landed, triples didn't
+    docs = dedup_docs(normalize_stage(extract_stage(with_source(batch, src))))
+    docs.write.mode("overwrite").partitionBy("source").parquet(
+        os.path.join(out_dir, "docs", "batch_id=0")
+    )
+    # the stream replays batch 0
+    _process_batch(batch, 0, out_dir, src, "gleaner")
+    tri = spark.read.parquet(os.path.join(out_dir, "triples"))
+    assert tri.count() > 0
+    d = spark.read.parquet(os.path.join(out_dir, "docs"))
+    assert d.select("doc_sha1").distinct().count() == d.count()
+
+
 def test_windowed_host_rates(spark, feed_dirs, tmp_path):
     pages_dir, _ = feed_dirs
     _land(spark, pages_dir, 0, 300, "seg0")
