@@ -15,10 +15,16 @@ the reference's own golden tests:
   not expand to IRIs are dropped during expansion).
 
 Remote contexts: the reference preloads ``https?://schema.org/`` from
-local assets and never fetches from executors (``ldproc.go:31-58``).  The
-schema.org vocabulary file's own ``@context`` is just prefix mappings
-(no ``@vocab``), embedded below; all other remote context URLs raise,
-which marks the document invalid — the offline-executor behaviour.
+local assets and never fetches from executors (``ldproc.go:31-58``).  We
+generalize that into an offline context REGISTRY: schema.org is vendored
+(its vocabulary file's ``@context`` is just prefix mappings, embedded
+below), and a deployment preloads any further context documents its
+corpus uses via ``register_remote_context`` before the job starts —
+exactly how the reference ships ``assets/schemaorg-current-https.jsonld``
+and would ship more.  Unregistered remote context URLs still raise,
+which marks the document invalid — the offline-executor behaviour (an
+executor fleet fetching contexts over HTTP per document is both a
+performance and a reproducibility bug at 10^12-document scale).
 
 No Spark imports: this module is the per-document contract, unit-testable
 byte-for-byte (the reference's ``glcon tools rdf`` probe, ``pkg/cli/rdf.go``).
@@ -80,23 +86,56 @@ SCHEMA_ORG_REMOTE_CONTEXT: dict[str, str] = {
     "vann": "http://purl.org/vocab/vann/",
     "void": "http://rdfs.org/ns/void#",
     "xsd": "http://www.w3.org/2001/XMLSchema#",
-    "foo": "http://example.com/",
 }
-# 'foo' is not in the real file; drop it.
-SCHEMA_ORG_REMOTE_CONTEXT.pop("foo")
 
 _SCHEMA_ORG_URL_RE = re.compile(r"^https?://(www\.)?schema\.org/?$")
+
+# Offline remote-context registry: normalized URL → context value (the
+# document's @context — dict / list / nested).  Deployments preload the
+# context documents their corpus uses (codemeta, geojson-ld, DCAT, …)
+# at job start; executors never fetch.
+REMOTE_CONTEXTS: dict[str, Any] = {}
+
+
+def _normalize_context_url(url: str) -> str:
+    """Registry key normalization: trailing slash stripped; the
+    scheme/www variants of schema.org collapse to one key (the reference
+    pins both http and https to the same local asset, ldproc.go:31-58)."""
+    if _SCHEMA_ORG_URL_RE.match(url):
+        return "https://schema.org"
+    return url.rstrip("/")
+
+
+def register_remote_context(url: str, context: Any) -> None:
+    """Preload a remote context document for offline resolution.
+
+    ``context`` is the VALUE of the remote document's ``@context`` key
+    (dict, list, or string chain).  Call before building the Spark
+    session so executors inherit the registry via module import."""
+    REMOTE_CONTEXTS[_normalize_context_url(url)] = context
+
+
+register_remote_context("https://schema.org", SCHEMA_ORG_REMOTE_CONTEXT)
 
 
 class JsonLdError(ValueError):
     """Document cannot be processed (invalid JSON-LD / unknown remote context)."""
 
 
+class CanonicalizationBudgetError(JsonLdError):
+    """URDNA2015 n-degree work would exceed the safety budget (a doc with
+    many isomorphic blank nodes drives the permutation search
+    super-polynomial).  Callers fall back to the filesha identifier —
+    the reference's own dodge for pathological inputs ('Don't normalize
+    big files', sitegraph.go:50)."""
+
+
 class Term(NamedTuple):
     iri: str
     type: str | None = None        # type coercion (@id, @vocab, or datatype IRI)
-    container: str | None = None   # @list / @set / ...
+    container: str | None = None   # @list / @set / @index / @language ...
     language: str | None = None
+    reverse: bool = False          # term defined via @reverse
 
 
 class Context:
@@ -124,8 +163,9 @@ def _resolve_iri(base: str, rel: str) -> str:
     return urljoin(base, rel)
 
 
-def process_context(active: Context, local: Any) -> Context:
-    """Context-processing subset: strings (schema.org only), dicts, arrays."""
+def process_context(active: Context, local: Any,
+                    _remote_chain: frozenset[str] = frozenset()) -> Context:
+    """Context-processing subset: registered remote URLs, dicts, arrays."""
     ctx = active.copy()
     items = local if isinstance(local, list) else [local]
     for item in items:
@@ -133,9 +173,13 @@ def process_context(active: Context, local: Any) -> Context:
             ctx = Context()
             continue
         if isinstance(item, str):
-            if _SCHEMA_ORG_URL_RE.match(item):
-                for pfx, iri in SCHEMA_ORG_REMOTE_CONTEXT.items():
-                    ctx.terms[pfx] = Term(iri)
+            key = _normalize_context_url(item)
+            if key in _remote_chain:
+                raise JsonLdError(f"cyclic remote context: {item}")
+            registered = REMOTE_CONTEXTS.get(key)
+            if registered is not None:
+                ctx = process_context(ctx, registered,
+                                      _remote_chain | {key})
                 continue
             raise JsonLdError(f"cannot load remote context (offline): {item}")
         if not isinstance(item, dict):
@@ -162,6 +206,18 @@ def process_context(active: Context, local: Any) -> Context:
                 iri = _expand_iri_in_ctx(ctx, item, val)
                 ctx.terms[key] = Term(iri)
             elif isinstance(val, dict):
+                if "@reverse" in val:
+                    rid = val["@reverse"]
+                    if not isinstance(rid, str):
+                        ctx.terms[key] = Term("")
+                        continue
+                    iri = _expand_iri_in_ctx(ctx, item, rid)
+                    ttype = val.get("@type")
+                    # reverse terms may only coerce node references
+                    if ttype not in ("@id", "@vocab"):
+                        ttype = None
+                    ctx.terms[key] = Term(iri, ttype, None, None, True)
+                    continue
                 tid = val.get("@id", key)
                 if tid is None:
                     ctx.terms[key] = Term("")
@@ -316,19 +372,86 @@ def expand(element: Any, ctx: Context | None = None,
                 result.setdefault("@set_holder", []).extend(
                     ex if isinstance(ex, list) else [ex])
             continue
-        if expanded_key in {"@index", "@reverse", "@nest", "@included"}:
-            continue  # outside supported subset; dropped
+        if expanded_key == "@reverse":
+            # {"@reverse": {prop: nodes}} — json-gold emits reversed
+            # triples for these (reference mills them, jld2nq.go:11-27)
+            if isinstance(value, dict):
+                for rkey in sorted(value.keys()):
+                    rprop = expand_iri(ctx, rkey, vocab=True)
+                    if rprop is None or rprop in KEYWORDS or ":" not in rprop:
+                        continue
+                    rex = expand(value[rkey], ctx, rkey)
+                    if rex is None:
+                        continue
+                    rexl = rex if isinstance(rex, list) else [rex]
+                    rterm = ctx.terms.get(rkey)
+                    if rterm and rterm.reverse:
+                        # reverse-of-reverse = forward
+                        result.setdefault(rprop, []).extend(rexl)
+                    else:
+                        result.setdefault("@reverse", {}).setdefault(
+                            rprop, []).extend(rexl)
+            continue
+        if expanded_key == "@nest":
+            # transparent property nesting: the nested map's entries
+            # expand as if they sat on this node
+            for nv in (value if isinstance(value, list) else [value]):
+                if not isinstance(nv, dict):
+                    continue
+                nex = expand(nv, ctx, "@nest")
+                if not isinstance(nex, dict):
+                    continue
+                for k2, v2 in nex.items():
+                    if k2 == "@reverse":
+                        tgt = result.setdefault("@reverse", {})
+                        for rp, rv in v2.items():
+                            tgt.setdefault(rp, []).extend(rv)
+                    elif not k2.startswith("@"):
+                        result.setdefault(k2, []).extend(v2)
+            continue
+        if expanded_key == "@included":
+            iex = expand(value, ctx, "@included")
+            if iex:
+                result.setdefault("@included", []).extend(
+                    iex if isinstance(iex, list) else [iex])
+            continue
+        if expanded_key == "@index":
+            continue  # node annotation only — carries no triples
         if expanded_key in KEYWORDS:
             continue
 
         term = ctx.terms.get(key)
-        ex = expand(value, ctx, key)
+        if term and term.container == "@index" and isinstance(value, dict):
+            # index maps: index keys are annotations; the VALUES are the
+            # property's values (previously silently dropped)
+            ex_items: list = []
+            for ik in sorted(value.keys()):
+                sub = expand(value[ik], ctx, key)
+                if sub is None:
+                    continue
+                ex_items.extend(sub if isinstance(sub, list) else [sub])
+            ex = ex_items
+        elif term and term.container == "@language" and isinstance(value, dict):
+            # language maps: {"en": "x", "de": ["y"]} → tagged literals
+            ex_items = []
+            for lk in sorted(value.keys()):
+                vals = value[lk] if isinstance(value[lk], list) else [value[lk]]
+                for v in vals:
+                    if isinstance(v, str):
+                        ex_items.append({"@value": v, "@language": lk.lower()})
+            ex = ex_items
+        else:
+            ex = expand(value, ctx, key)
         if ex is None:
             continue
         if term and term.container == "@list" and not (
                 isinstance(ex, dict) and "@list" in ex):
             ex = {"@list": ex if isinstance(ex, list) else [ex]}
         exlist = ex if isinstance(ex, list) else [ex]
+        if term and term.reverse:
+            result.setdefault("@reverse", {}).setdefault(
+                expanded_key, []).extend(exlist)
+            continue
         if exlist or isinstance(ex, list):
             result.setdefault(expanded_key, []).extend(exlist)
 
@@ -460,6 +583,18 @@ def _emit_node(node: dict, graph: RdfTerm | None, quads: list[Quad],
             ot = _object_term(v, graph, quads, issuer)
             if ot is not None:
                 quads.append(Quad(subj, pred, ot, graph))
+
+    # reversed triples: {"@reverse": {p: [o...]}} on node s ⇒ (o, p, s)
+    for prop in sorted(node.get("@reverse", {})):
+        pred = RdfTerm("iri", prop)
+        for v in node["@reverse"][prop]:
+            ot = _object_term(v, graph, quads, issuer)
+            if ot is not None and ot.kind != "literal":
+                quads.append(Quad(ot, pred, subj, graph))
+
+    for inc in node.get("@included", []):
+        if isinstance(inc, dict):
+            _emit_node(inc, graph, quads, issuer)
 
     if "@graph" in node:
         gname = subj if subj.kind in {"iri", "blank"} else None
@@ -680,8 +815,23 @@ def _hash_n_degree(bnode: str, bnode_quads: dict[str, list[Quad]],
     return hashlib.sha256(data.encode("utf-8")).hexdigest(), issuer
 
 
+# n-degree safety budget: the disambiguation path permutes each group of
+# same-first-degree-hash blank nodes (``permutations`` below) — a doc
+# with hundreds of isomorphic bnodes is super-polynomial and would hang
+# an executor.  The reference ducks the same class of input with "Don't
+# normalize big files" (sitegraph.go:50); we bound the actual work
+# instead of the byte size and raise a typed error the identifier path
+# converts into the filesha fallback.
+MAX_NDEGREE_GROUP = 6      # 6! = 720 permutations per group
+MAX_NDEGREE_BNODES = 64    # total bnodes entering the n-degree phase
+
+
 def urdna2015(quads: list[Quad]) -> str:
-    """Canonicalize a dataset; returns sorted canonical n-quads text."""
+    """Canonicalize a dataset; returns sorted canonical n-quads text.
+
+    Raises ``CanonicalizationBudgetError`` when the n-degree
+    disambiguation would exceed the permutation budget (see
+    MAX_NDEGREE_GROUP / MAX_NDEGREE_BNODES above)."""
     bnode_quads: dict[str, list[Quad]] = {}
     for q in quads:
         for t in (q.s, q.o, q.g):
@@ -705,6 +855,15 @@ def urdna2015(quads: list[Quad]) -> str:
 
     if non_unique:
         remaining = [b for b in non_unique if b not in canon.issued]
+        biggest = max(
+            (len(g) for g in hash_groups.values() if len(g) > 1), default=0
+        )
+        if len(remaining) > MAX_NDEGREE_BNODES or biggest > MAX_NDEGREE_GROUP:
+            raise CanonicalizationBudgetError(
+                f"n-degree budget exceeded: {len(remaining)} ambiguous "
+                f"bnodes, largest isomorphic group {biggest} "
+                f"(caps: {MAX_NDEGREE_BNODES}/{MAX_NDEGREE_GROUP})"
+            )
         results = []
         for b in remaining:
             issuer = _CanonIssuer("_:b")

@@ -184,3 +184,179 @@ def test_schema_org_string_context_prefixes_only():
     nq = serialize_nquads(to_rdf(doc))
     assert "schema.org/name" not in nq
     assert "<http://www.w3.org/2000/01/rdf-schema#label>" in nq
+
+
+# ---------------------------------------------------------------------------
+# round 2: @reverse / containers / @nest / @included / registry / budget
+# ---------------------------------------------------------------------------
+
+def test_reverse_keyword_emits_reversed_triple():
+    doc = {
+        "@context": {"@vocab": "https://schema.org/"},
+        "@id": "https://example.org/ds",
+        "@reverse": {"about": {"@id": "https://example.org/page"}},
+    }
+    nq = serialize_nquads(to_rdf(doc))
+    assert nq == (
+        "<https://example.org/page> <https://schema.org/about> "
+        "<https://example.org/ds> .\n"
+    )
+
+
+def test_reverse_term_definition():
+    doc = {
+        "@context": {
+            "@vocab": "https://schema.org/",
+            "isAboutOf": {"@reverse": "about"},
+        },
+        "@id": "https://example.org/ds",
+        "isAboutOf": [
+            {"@id": "https://example.org/p1"},
+            {"@id": "https://example.org/p2"},
+        ],
+    }
+    nq = serialize_nquads(to_rdf(doc))
+    assert ("<https://example.org/p1> <https://schema.org/about> "
+            "<https://example.org/ds> .") in nq
+    assert ("<https://example.org/p2> <https://schema.org/about> "
+            "<https://example.org/ds> .") in nq
+    assert nq.count("\n") == 2
+
+
+def test_reverse_literal_values_dropped():
+    doc = {
+        "@context": {"@vocab": "https://schema.org/"},
+        "@id": "https://example.org/ds",
+        "@reverse": {"about": "just a string"},
+    }
+    assert to_rdf(doc) == []
+
+
+def test_index_container_values_recovered():
+    doc = {
+        "@context": {
+            "@vocab": "https://schema.org/",
+            "dist": {"@id": "https://schema.org/distribution",
+                     "@container": "@index"},
+        },
+        "@id": "https://example.org/ds",
+        "dist": {
+            "csv": {"@id": "https://example.org/d.csv"},
+            "json": {"@id": "https://example.org/d.json"},
+        },
+    }
+    nq = serialize_nquads(to_rdf(doc))
+    assert "<https://example.org/d.csv>" in nq
+    assert "<https://example.org/d.json>" in nq
+    assert nq.count("distribution") == 2
+
+
+def test_language_map_container():
+    doc = {
+        "@context": {
+            "@vocab": "https://schema.org/",
+            "label": {"@id": "https://schema.org/name",
+                      "@container": "@language"},
+        },
+        "@id": "https://example.org/ds",
+        "label": {"en": "Dataset", "DE": ["Datensatz"]},
+    }
+    nq = serialize_nquads(to_rdf(doc))
+    assert '"Dataset"@en' in nq
+    assert '"Datensatz"@de' in nq
+
+
+def test_nest_merges_properties():
+    doc = {
+        "@context": {"@vocab": "https://schema.org/"},
+        "@id": "https://example.org/ds",
+        "@nest": {"name": "Nested name"},
+    }
+    nq = serialize_nquads(to_rdf(doc))
+    assert ("<https://example.org/ds> <https://schema.org/name> "
+            '"Nested name" .') in nq
+
+
+def test_included_emits_sibling_nodes():
+    doc = {
+        "@context": {"@vocab": "https://schema.org/"},
+        "@id": "https://example.org/ds",
+        "name": "Main",
+        "@included": [
+            {"@id": "https://example.org/other", "name": "Other"},
+        ],
+    }
+    nq = serialize_nquads(to_rdf(doc))
+    assert '<https://example.org/ds> <https://schema.org/name> "Main" .' in nq
+    assert ('<https://example.org/other> <https://schema.org/name> "Other" .'
+            in nq)
+
+
+def test_remote_context_registry_roundtrip():
+    from gleaner_spark.core.jsonld import (
+        REMOTE_CONTEXTS,
+        JsonLdError,
+        register_remote_context,
+    )
+
+    url = "https://example.org/contexts/test-dataset.jsonld"
+    doc = {
+        "@context": url,
+        "@id": "https://example.org/ds",
+        "title": "T",
+    }
+    # unregistered → invalid document (offline executors never fetch)
+    import pytest as _pytest
+
+    with _pytest.raises(JsonLdError, match="offline"):
+        to_rdf(doc)
+    register_remote_context(url, {"title": "https://purl.org/dc/terms/title"})
+    try:
+        nq = serialize_nquads(to_rdf(doc))
+        assert ("<https://example.org/ds> <https://purl.org/dc/terms/title> "
+                '"T" .') in nq
+    finally:
+        REMOTE_CONTEXTS.pop(url.rstrip("/"), None)
+
+
+def test_remote_context_trailing_slash_and_cycle():
+    from gleaner_spark.core.jsonld import (
+        REMOTE_CONTEXTS,
+        JsonLdError,
+        register_remote_context,
+    )
+
+    url = "https://example.org/ctx/"
+    register_remote_context(url, {"@vocab": "https://example.org/v#"})
+    try:
+        doc = {"@context": "https://example.org/ctx", "@id": "https://x.org/a",
+               "p": "v"}
+        nq = serialize_nquads(to_rdf(doc))
+        assert "<https://example.org/v#p>" in nq
+    finally:
+        REMOTE_CONTEXTS.pop("https://example.org/ctx", None)
+
+    import pytest as _pytest
+
+    register_remote_context("https://example.org/loop", "https://example.org/loop")
+    try:
+        with _pytest.raises(JsonLdError, match="cyclic"):
+            to_rdf({"@context": "https://example.org/loop", "@id": "https://x.org/a"})
+    finally:
+        REMOTE_CONTEXTS.pop("https://example.org/loop", None)
+
+
+def test_urdna_budget_raises_on_isomorphic_bnode_flood():
+    from gleaner_spark.core.jsonld import CanonicalizationBudgetError
+
+    import pytest as _pytest
+
+    # 10 mutually-indistinguishable bnodes → one first-degree hash group
+    # of 10 → permutation search would be 10! — the budget must raise
+    doc = {
+        "@context": {"@vocab": "https://schema.org/"},
+        "@id": "https://example.org/ds",
+        "knows": [{"name": "same"} for _ in range(10)],
+    }
+    with _pytest.raises(CanonicalizationBudgetError):
+        urdna2015(to_rdf(doc))

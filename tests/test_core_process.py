@@ -69,3 +69,53 @@ def test_identifier_string_type_passthrough():
     p = process_document(doc, "https", "identifierstring", "")
     q = ci.generate_identifier(fix_all(doc, "https"), "identifierstring", "")
     assert p.doc_sha1 == q.unique_id and p.id_type == q.identifier_type
+
+
+def test_budget_exceeded_falls_back_to_filesha():
+    """A doc flooding URDNA2015's n-degree path with isomorphic bnodes
+    must still process — filesha identifier, full quads (the reference's
+    sitegraph shape, sitegraph.go:50)."""
+    import json
+
+    doc = json.dumps({
+        "@context": {"@vocab": "https://schema.org/"},
+        "@id": "https://example.org/ds",
+        "knows": [{"name": "same"} for _ in range(12)],
+    })
+    p = process_document(doc)
+    assert p.valid
+    fixed_sha = ci.get_sha(p.jsonld_fixed)
+    assert p.doc_sha1 == fixed_sha
+    assert p.id_type == ci.JSON_SHA
+    assert p.norm_sha256 == ci.get_sha256(p.jsonld_fixed)
+    # triples still milled in full: 12 knows + 12 names
+    assert len(p.quads) == 24
+
+
+def test_big_doc_skips_normalization():
+    import json
+
+    big = json.dumps({
+        "@context": {"@vocab": "https://schema.org/"},
+        "@id": "https://example.org/big",
+        "name": "Big",
+        "description": "x" * (3 * 1024 * 1024),
+    })
+    import time
+
+    t0 = time.time()
+    p = process_document(big)
+    assert time.time() - t0 < 10.0  # bounded: no URDNA2015 over 3 MB
+    assert p.valid
+    assert p.doc_sha1 == ci.get_sha(p.jsonld_fixed)
+    assert p.id_type == ci.JSON_SHA
+    assert any("description" in q.predicate for q in p.quads)
+
+    assert p.norm_sha256 == ci.get_sha256(p.jsonld_fixed)  # raw, not norm
+
+    # ...and the identical doc under the limit normalizes normally
+    small = big.replace("x" * (3 * 1024 * 1024), "x")
+    ps = process_document(small)
+    assert ps.valid and ps.id_type == ci.JSON_SHA
+    # graph id comes from the URDNA2015 normalization, not the raw bytes
+    assert ps.norm_sha256 != ci.get_sha256(ps.jsonld_fixed)

@@ -280,3 +280,46 @@ def test_entity_linking_gold_clusters(spark):
         present = {n for r in named for n in r.names if n in gc}
         if len(present) > 1:
             assert any(g == present for g in got), gc
+
+
+def test_sitegraph_ingestion_big_doc_bounded(spark):
+    """S6: a multi-MB blank-node-rich sitegraph flows through
+    normalize→mill in bounded time with the filesha identifier (the
+    reference's 'Don't normalize big files', sitegraph.go:50)."""
+    import hashlib
+    import json
+    import time
+
+    from gleaner_spark.sources.sitegraph import sitegraph_blocks
+
+    body = json.dumps({
+        "@context": {"@vocab": "https://schema.org/"},
+        "@id": "https://geo.example.org/sitegraph",
+        "@graph": [
+            {"@id": f"https://geo.example.org/ds/{i}",
+             "@type": "Dataset",
+             "name": f"DS {i}",
+             "creator": {"name": f"Org {i % 7}",
+                         "description": "p" * 2048}}
+            for i in range(1500)
+        ],
+    })
+    assert len(body) > 2 * 1024 * 1024
+    sg = spark.createDataFrame(
+        [("geo", "https://geo.example.org/sitegraph.jsonld", body)],
+        "source string, url string, body string",
+    )
+    t0 = time.time()
+    docs = normalize_stage(sitegraph_blocks(sg)).filter(F.col("valid"))
+    row = docs.select("doc_sha1", "id_type", "norm_sha256").collect()[0]
+    triples = mill_stage(docs)
+    n = triples.count()
+    assert time.time() - t0 < 120.0
+    # filesha fallback: doc_sha1 is sha1 of the (fixed) doc bytes
+    assert row.id_type == "jsonsha"
+    assert n >= 1500 * 3  # type + name + creator per dataset
+    # skolemized bnodes are derived from the doc sha → deterministic
+    sha = row.doc_sha1
+    assert triples.filter(
+        F.col("object").startswith(f"_:b{sha}")
+    ).count() == 1500
