@@ -117,6 +117,21 @@ def register_remote_context(url: str, context: Any) -> None:
 
 register_remote_context("https://schema.org", SCHEMA_ORG_REMOTE_CONTEXT)
 
+# Example deployment context asset (same mechanism the reference uses to
+# ship schema.org assets): a Dublin-Core-terms subset under a
+# deployment-controlled URL.  Reachable only for sources configured
+# ``strict`` — the default fix path rewrites string contexts to
+# ``{"@vocab": url}`` first (contextfix parity with jsonutils.go:87-96).
+# Exercised by the kg_remote_context correctness query and unit tests.
+DCTERMS_CONTEXT_URL = "https://contexts.gleaner-spark.example/dcterms.jsonld"
+register_remote_context(DCTERMS_CONTEXT_URL, {
+    "dct": "http://purl.org/dc/terms/",
+    "title": "http://purl.org/dc/terms/title",
+    "description": "http://purl.org/dc/terms/description",
+    "identifier": "http://purl.org/dc/terms/identifier",
+    "license": {"@id": "http://purl.org/dc/terms/license", "@type": "@id"},
+})
+
 
 class JsonLdError(ValueError):
     """Document cannot be processed (invalid JSON-LD / unknown remote context)."""

@@ -165,6 +165,39 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+_HEX = "0123456789abcdef"
+
+
+def simhash64_hex(text: str) -> str:
+    """64-bit SimHash as 16 hex chars, nibble-aligned md5 bit source —
+    the PORTABLE formulation (identical in Spark SQL and DuckDB, see
+    plans.queries._simhash64_*): bit j (j = 4k + r) of the signature is
+    driven by bit r of hex nibble k of md5(token); the signature nibble
+    k packs bits 4k..4k+3 back into one hex char.  Hex-string form keeps
+    the full 64 bits without bigint sign trouble (bit 63)."""
+    ws = normalize_text(text).split()
+    if not ws:
+        return "0" * 16
+    acc = [0] * 64
+    for w in ws:
+        h = hashlib.md5(w.encode("utf-8")).hexdigest()
+        for k in range(16):
+            v = int(h[k], 16)
+            for r in range(4):
+                acc[4 * k + r] += 1 if (v >> r) & 1 else -1
+    return "".join(
+        _HEX[sum(((acc[4 * k + r] > 0) << r) for r in range(4))]
+        for k in range(16)
+    )
+
+
+def hamming_hex(a: str, b: str) -> int:
+    """Hamming distance between two equal-length hex signatures."""
+    return sum(
+        bin(int(x, 16) ^ int(y, 16)).count("1") for x, y in zip(a, b)
+    )
+
+
 def language_score(text: str, lang: str) -> int:
     """Stopword-hit count for one language profile (used by ``lang_id``)."""
     padded = " " + normalize_text(text) + " "

@@ -78,30 +78,90 @@ def org_triples(sources_dim: DataFrame, bucket: str = "gleaner") -> DataFrame:
     )
 
 
+PROV_CONTEXT = (
+    '{"rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#", '
+    '"prov": "http://www.w3.org/ns/prov#", '
+    '"rdfs": "http://www.w3.org/2000/01/rdf-schema#"}'
+)
+
+
 def prov_lineage(docs: DataFrame, sources_dim: DataFrame | None,
                  run_id: str, bucket: str = "gleaner") -> DataFrame:
-    """R5: one PROV-O JSON-LD row per summoned doc.
+    """R5/J2: one PROV-O JSON-LD row per summoned doc, mirroring the
+    reference's five-node template (prov.go:121-173):
 
-    Mirrors the reference's template fields (prov.go:70-173): graph URN
-    ``urn:{bucket}:{source}:{sha}``, the originating URL as the
-    prov:Entity, the source org as the Attribution agent, and the run id
-    as the prov:Activity (the reference uses the wall-clock date; a run
-    id keeps us deterministic)."""
+    1. the source org (``@id`` = PID, ``rdf:name`` = ProperName,
+       ``rdfs:seeAlso`` = Domain — joined from the sources dim with the
+       reference's ``"unknown"`` defaults, prov.go:83-91),
+    2. the harvested URL as a prov:Entity attributed to the org,
+    3. a prov:Collection over the URL keyed by the doc sha,
+    4. the graph URN ``urn:{bucket}:{source}:{sha}`` as a prov:Entity,
+    5. the run as a prov:Activity that generated the URN.
+
+    The run id stands in for the reference's wall-clock date+runid pair
+    (determinism; quirk note in the module docstring).  The dim join is
+    broadcast — sources are config-scale."""
+    if sources_dim is not None:
+        dim = sources_dim.select(
+            F.col("name").alias("source"),
+            F.col("pid").alias("_pid"),
+            F.col("propername").alias("_pname"),
+            F.col("domain").alias("_domain"),
+        )
+        docs = docs.join(F.broadcast(dim), "source", "left")
+    else:
+        docs = (
+            docs.withColumn("_pid", F.lit(None).cast("string"))
+            .withColumn("_pname", F.lit(None).cast("string"))
+            .withColumn("_domain", F.lit(None).cast("string"))
+        )
+    pid = F.coalesce(F.col("_pid"), F.lit("unknown"))
+    pname = F.coalesce(F.col("_pname"), F.lit("unknown"))
+    domain = F.coalesce(F.col("_domain"), F.lit("unknown"))
     urn = F.concat_ws(":", F.lit("urn"), F.lit(bucket), F.col("source"),
                       F.col("norm_sha256"))
-    prov = F.to_json(
+    collection = F.concat(F.lit("https://gleaner.io/id/collection/"),
+                          F.col("doc_sha1"))
+    activity = F.concat(F.lit("https://gleaner.io/id/run/"),
+                        F.col("doc_sha1"))
+    org_node = F.struct(
+        pid.alias("@id"), F.lit("prov:Organization").alias("@type"),
+        pname.alias("rdf:name"), domain.alias("rdfs:seeAlso"),
+    )
+    entity_node = F.struct(
+        F.col("url").alias("@id"), F.lit("prov:Entity").alias("@type"),
+        F.struct(pid.alias("@id")).alias("prov:wasAttributedTo"),
+        F.col("url").alias("prov:value"),
+    )
+    coll_node = F.struct(
+        collection.alias("@id"), F.lit("prov:Collection").alias("@type"),
+        F.struct(F.col("url").alias("@id")).alias("prov:hadMember"),
+    )
+    urn_node = F.struct(
+        urn.alias("@id"), F.lit("prov:Entity").alias("@type"),
+        F.concat(F.col("doc_sha1"), F.lit(".jsonld")).alias("prov:value"),
+    )
+    run_node = F.struct(
+        activity.alias("@id"), F.lit("prov:Activity").alias("@type"),
         F.struct(
-            F.lit("https://schema.org/").alias("@context"),
-            urn.alias("@id"),
-            F.lit("prov:Collection").alias("@type"),
-            F.col("url").alias("prov:hadMember"),
-            F.col("source").alias("prov:wasAttributedTo"),
-            F.lit(run_id).alias("prov:wasGeneratedBy"),
-            F.col("doc_sha1").alias("identifier"),
-        )
+            F.lit(run_id).alias("@value"),
+            F.lit("http://www.w3.org/2001/XMLSchema#dateTime").alias("@type"),
+        ).alias("prov:endedAtTime"),
+        F.struct(urn.alias("@id")).alias("prov:generated"),
+        F.struct(collection.alias("@id")).alias("prov:used"),
+    )
+    prov = F.concat(
+        F.lit('{"@context": ' + PROV_CONTEXT + ', "@graph": ['),
+        F.concat_ws(
+            ", ",
+            F.to_json(org_node), F.to_json(entity_node),
+            F.to_json(coll_node), F.to_json(urn_node), F.to_json(run_node),
+        ),
+        F.lit("]}"),
     )
     out = docs.select(
         "url", "source", "doc_sha1", "norm_sha256",
+        pid.alias("pid"), pname.alias("propername"), domain.alias("domain"),
         urn.alias("graph_urn"),
         prov.alias("prov_jsonld"),
         F.sha1(prov).alias("prov_sha"),   # H7: sha1 of rendered prov

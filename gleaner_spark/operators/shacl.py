@@ -1,0 +1,195 @@
+"""Relational SHACL-lite (V1): evaluate a parsed shapes graph over the
+triples relation.
+
+The reference POSTs datagraph + shapegraph to an external Tangram
+service per document (``internal/millers/shapes/tangramCall.go:121-180``,
+disabled in its main path).  Per-document SHACL engines don't vectorize
+at 10^12-document scale; here the shapes graph — config-scale, a few
+hundred triples at most — is parsed driver-side into relational
+constraints, and conformance is ONE distributed pass over the triples
+table per shape: a semi-join for targeting, a conditional aggregation
+per property constraint, and (only when sh:class is used) one extra
+join against the type relation.
+
+Supported constraint subset: sh:targetClass, sh:property with sh:path,
+sh:minCount, sh:maxCount, sh:nodeKind (IRI/Literal/BlankNode),
+sh:datatype, sh:class.  Shapes are supplied either as the relational
+``NodeShape`` objects or as a shapes graph in the pipeline's own
+serialized-triples form (e.g. a SHACL JSON-LD doc milled by
+``core.mill``) via ``shapes_from_triples``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+SH = "http://www.w3.org/ns/shacl#"
+RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+
+@dataclass
+class PropertyConstraint:
+    path: str                       # predicate IRI (bare, no <>)
+    min_count: int = 0
+    max_count: int | None = None
+    node_kind: str | None = None    # 'IRI' | 'Literal' | 'BlankNode'
+    datatype: str | None = None     # literal datatype IRI
+    class_iri: str | None = None    # sh:class — values must be instances
+
+
+@dataclass
+class NodeShape:
+    shape_id: str
+    target_class: str               # IRI (bare)
+    properties: list[PropertyConstraint] = field(default_factory=list)
+
+
+def _unlit(obj: str):
+    """Parse a serialized n-quads object term → (kind, value, datatype)."""
+    if obj.startswith("<"):
+        return "iri", obj[1:-1], None
+    if obj.startswith("_:"):
+        return "blank", obj, None
+    if obj.startswith('"'):
+        body, _, suffix = obj.rsplit('"', 1)[0][1:], None, obj.rsplit('"', 1)[1]
+        if suffix.startswith("^^<"):
+            return "literal", body, suffix[3:-1]
+        return "literal", body, XSD_STRING
+    return "other", obj, None
+
+
+def shapes_from_triples(shape_rows) -> list[NodeShape]:
+    """Parse a shapes graph from (subject, predicate, object) rows in the
+    pipeline's serialized form.  Accepts a DataFrame (collected — shapes
+    are config, not data) or an iterable of rows/tuples."""
+    if isinstance(shape_rows, DataFrame):
+        shape_rows = shape_rows.select("subject", "predicate", "object").collect()
+    by_subj: dict[str, list[tuple[str, str]]] = {}
+    for r in shape_rows:
+        s, p, o = r[0], r[1], r[2]
+        by_subj.setdefault(s, []).append((p[1:-1], o))
+
+    def prop_of(subj: str, pred: str) -> list[str]:
+        return [o for p, o in by_subj.get(subj, []) if p == pred]
+
+    shapes: list[NodeShape] = []
+    for subj, po in sorted(by_subj.items()):
+        types = {o for p, o in po if p == RDF_TYPE[1:-1]}
+        if f"<{SH}NodeShape>" not in types:
+            continue
+        targets = prop_of(subj, SH + "targetClass")
+        if not targets:
+            continue
+        shape = NodeShape(
+            shape_id=_unlit(subj)[1] if subj.startswith("<") else subj,
+            target_class=_unlit(targets[0])[1],
+        )
+        for pref in prop_of(subj, SH + "property"):
+            c = PropertyConstraint(path="")
+            for pred, obj in by_subj.get(pref, []):
+                kind, val, _dt = _unlit(obj)
+                if pred == SH + "path":
+                    c.path = val
+                elif pred == SH + "minCount":
+                    c.min_count = int(val)
+                elif pred == SH + "maxCount":
+                    c.max_count = int(val)
+                elif pred == SH + "nodeKind":
+                    c.node_kind = val.rsplit("#", 1)[-1]
+                elif pred == SH + "datatype":
+                    c.datatype = val
+                elif pred == SH + "class":
+                    c.class_iri = val
+            if c.path:
+                shape.properties.append(c)
+        shapes.append(shape)
+    return shapes
+
+
+def _value_filter(c: PropertyConstraint):
+    """Column predicate: does a (predicate, object) row count toward
+    constraint ``c``?  Works on the serialized term forms."""
+    ok = F.col("predicate") == f"<{c.path}>"
+    if c.node_kind == "IRI":
+        ok &= F.col("object").startswith("<")
+    elif c.node_kind == "Literal":
+        ok &= F.col("object").startswith('"')
+    elif c.node_kind == "BlankNode":
+        ok &= F.col("object").startswith("_:")
+    if c.datatype:
+        if c.datatype == XSD_STRING:
+            # plain literals serialize without the ^^ suffix
+            ok &= F.col("object").startswith('"') & ~F.col("object").rlike(
+                r"\^\^<[^>]*>$"
+            )
+        else:
+            ok &= F.col("object").endswith(f"^^<{c.datatype}>")
+    return ok
+
+
+def shape_conformance(triples: DataFrame, shapes: list[NodeShape]) -> DataFrame:
+    """(subject, shape_id, conforms) for every target of every shape.
+
+    One aggregation pass per shape over the semi-joined triples; all
+    counting constraints evaluate in a single groupBy.  sh:class adds
+    one anti-join against the instance relation per constrained path.
+    """
+    out: DataFrame | None = None
+    for shape in shapes:
+        targets = (
+            triples.filter(
+                (F.col("predicate") == RDF_TYPE)
+                & (F.col("object") == f"<{shape.target_class}>")
+            )
+            .select("subject")
+            .distinct()
+        )
+        base = triples.join(targets, "subject", "left_semi")
+        aggs = [
+            F.sum(_value_filter(c).cast("int")).alias(f"n{i}")
+            for i, c in enumerate(shape.properties)
+        ]
+        per = base.groupBy("subject").agg(*aggs)
+        conforms = F.lit(True)
+        for i, c in enumerate(shape.properties):
+            conforms = conforms & (F.col(f"n{i}") >= c.min_count)
+            if c.max_count is not None:
+                conforms = conforms & (F.col(f"n{i}") <= c.max_count)
+        res = per.select(
+            "subject", F.lit(shape.shape_id).alias("shape_id"),
+            conforms.alias("conforms"),
+        )
+        # sh:class: every value of the path must be an instance of the class
+        for c in shape.properties:
+            if not c.class_iri:
+                continue
+            instances = (
+                triples.filter(
+                    (F.col("predicate") == RDF_TYPE)
+                    & (F.col("object") == f"<{c.class_iri}>")
+                )
+                .select(F.col("subject").alias("object"))
+                .distinct()
+            )
+            bad = (
+                base.filter(F.col("predicate") == f"<{c.path}>")
+                .select("subject", "object")
+                .join(instances, "object", "left_anti")
+                .select("subject")
+                .distinct()
+                .withColumn("_bad", F.lit(True))
+            )
+            res = (
+                res.join(bad, "subject", "left")
+                .select(
+                    "subject", "shape_id",
+                    (F.col("conforms") & F.col("_bad").isNull()).alias("conforms"),
+                )
+            )
+        out = res if out is None else out.unionByName(res)
+    if out is None:
+        raise ValueError("no NodeShape with a sh:targetClass in shapes input")
+    return out

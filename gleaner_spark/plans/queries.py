@@ -665,6 +665,164 @@ O_SIMHASH = (
 )
 
 
+# --- 64-bit SimHash dedup (banded Hamming) --------------------------------
+#
+# Signature: core.text.simhash64_hex — bit j (= 4k + r) driven by bit r
+# of hex nibble k of md5(token); stored as 16 hex chars (no bigint sign
+# trouble at bit 63).  4 bands of 16 bits: any pair with Hamming ≤ 3
+# shares at least one untouched band (pigeonhole), so banded candidates
+# + exact verification = the EXACT distance-≤3 pair set.
+
+SIMHASH_HAMMING_MAX = 3
+SIMHASH_MAX_BUCKET = 256   # band-bucket cap (quadratic-blowup guard)
+
+# dup enrichment: near-dup mutants (+100000, 4 extra tokens — included
+# only when their measured distance ≤ 3) and exact mutants (+200000,
+# distance 0 — guaranteed pairs)
+SIMHASH_DUP_SQL = (
+    "(select doc_id, text from documents "
+    "union all "
+    "select doc_id + 100000 as doc_id, text || ' extra near dup token' as text "
+    "from documents "
+    "union all "
+    "select doc_id + 200000 as doc_id, text from documents)"
+)
+
+
+def _simhash64_frame(df):
+    """Codegen-path 64-bit SimHash: exploded token rows → 64 ±1 sum
+    aggregates (map-side partial) → nibble-packed hex signature.  Same
+    exploded-rows-not-HOF layout as MinHash (interpreted higher-order
+    functions measured ~25× slower)."""
+    toks = df.select(
+        "doc_id", F.explode(F.expr(_tokens_sql("text", False))).alias("t")
+    ).withColumn("h", F.md5("t"))
+    aggs = []
+    for j in range(64):
+        k, r = divmod(j, 4)
+        bit = (
+            f"((shiftright(instr('0123456789abcdef',"
+            f" substring(h, {k + 1}, 1)) - 1, {r}) & 1) = 1)"
+        )
+        aggs.append(
+            F.sum(F.expr(f"case when {bit} then 1 else -1 end")).alias(f"s{j}")
+        )
+    sums = toks.groupBy("doc_id").agg(*aggs)
+
+    def nib(k: int) -> str:
+        return "(" + " + ".join(
+            f"(case when s{4 * k + r} > 0 then {1 << r} else 0 end)"
+            for r in range(4)
+        ) + ")"
+
+    hexpr = "concat(" + ", ".join(
+        f"substring('0123456789abcdef', {nib(k)} + 1, 1)" for k in range(16)
+    ) + ")"
+    return sums.select("doc_id", F.expr(hexpr).alias("simhash64"))
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash as an actual dedup operator: 64-bit signature → 4×16-bit
+    bands → capped bucket join → exact Hamming ≤ 3 verification.
+    Recall within the distance bound is exact (pigeonhole over bands)."""
+    base = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    near = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" extra near dup token")).alias("text"),
+    )
+    exact = base.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    d = base.unionByName(near).unionByName(exact)
+
+    sig = _simhash64_frame(d)
+    # feeds bands AND both verification sides — compute once
+    sig = sig.localCheckpoint(eager=True)
+
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("transform(sequence(0, 3),"
+                   " b -> substring(simhash64, b * 4 + 1, 4))")
+        ).alias("band_idx", "band"),
+    )
+    counts = bands.groupBy("band_idx", "band").agg(F.count("*").alias("n"))
+    bands = bands.join(
+        counts.filter(F.col("n") <= SIMHASH_MAX_BUCKET)
+        .select("band_idx", "band"),
+        ["band_idx", "band"], "left_semi",
+    )
+    cand = (
+        bands.select("band_idx", "band", F.col("doc_id").alias("a"))
+        .join(bands.select("band_idx", "band", F.col("doc_id").alias("b")),
+              ["band_idx", "band"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("a"), F.col("simhash64").alias("ha"))
+    sb = sig.select(F.col("doc_id").alias("b"), F.col("simhash64").alias("hb"))
+    ham = (
+        "aggregate(transform(sequence(1, 16), k -> "
+        "bit_count((instr('0123456789abcdef', substring(ha, k, 1)) - 1)"
+        " ^ (instr('0123456789abcdef', substring(hb, k, 1)) - 1))),"
+        " 0, (acc, x) -> acc + x)"
+    )
+    return (
+        cand.join(sa, "a").join(sb, "b")
+        .withColumn("hamming", F.expr(ham))
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .select("a", "b", "hamming")
+    )
+
+
+O_SIMHASH_PAIRS = f"""
+with tok as (
+  select doc_id, unnest({_tokens_sql('text', True)}) as t from {SIMHASH_DUP_SQL}
+),
+h as (select doc_id, md5(t) as h from tok),
+bits as (
+  select doc_id, j,
+    sum(case when ((strpos('0123456789abcdef', substring(h, (j // 4) + 1, 1)) - 1)
+              >> (j % 4)) & 1 = 1 then 1 else -1 end) as s
+  from h cross join generate_series(0, 63) as t(j)
+  group by doc_id, j
+),
+nibs as (
+  select doc_id, j // 4 as k,
+         sum(case when s > 0 then (1 << (j % 4)) else 0 end) as nib
+  from bits group by doc_id, j // 4
+),
+sig as (
+  select doc_id,
+         string_agg(substring('0123456789abcdef', nib::int + 1, 1), '' order by k) as sh
+  from nibs group by doc_id
+),
+bands as (
+  select doc_id, b as band_idx, substring(sh, b * 4 + 1, 4) as band
+  from sig cross join generate_series(0, 3) as t(b)
+),
+capped as (
+  select doc_id, band_idx, band from bands
+  qualify count(*) over (partition by band_idx, band) <= {SIMHASH_MAX_BUCKET}
+),
+cand as (
+  select distinct l.doc_id as a, r.doc_id as b
+  from capped l join capped r using (band_idx, band)
+  where l.doc_id < r.doc_id
+),
+scored as (
+  select c.a, c.b,
+    (select sum(bit_count(xor(
+        strpos('0123456789abcdef', substring(sa.sh, k, 1)) - 1,
+        strpos('0123456789abcdef', substring(sb.sh, k, 1)) - 1)))
+     from generate_series(1, 16) as t(k)) as hamming
+  from cand c
+  join sig sa on sa.doc_id = c.a
+  join sig sb on sb.doc_id = c.b
+)
+select a, b, hamming from scored where hamming <= {SIMHASH_HAMMING_MAX}
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -1138,42 +1296,47 @@ select concat(s, ' <https://schema.org/inLanguage> "', lang, '" ', g, ' .') from
 """
 
 
+# The shapes graph driving kg_shape_validation — a real SHACL NodeShape
+# document that flows through OUR OWN mill into triples, then through
+# the relational shapes parser (operators/shacl.py): the reference's
+# datagraph+shapegraph contract (tangramCall.go:121-180) with the shapes
+# graph as a first-class input instead of hard-coded predicates.
+KG_SHAPES_JSONLD = (
+    '{"@context": {"sh": "http://www.w3.org/ns/shacl#",'
+    ' "schema": "https://schema.org/"},'
+    ' "@id": "https://example.org/shapes/DatasetShape",'
+    ' "@type": "sh:NodeShape",'
+    ' "sh:targetClass": {"@id": "schema:Dataset"},'
+    ' "sh:property": ['
+    '   {"sh:path": {"@id": "schema:name"}, "sh:minCount": 1},'
+    '   {"sh:path": {"@id": "schema:inLanguage"}, "sh:minCount": 1}]}'
+)
+
+
 def q_kg_shape_validation(spark, sf_dir):
-    """V1 (SHACL-lite): per-graph shape conformance — a NodeShape
-    requiring every Dataset node to carry schema:name and
-    schema:inLanguage (the reference POSTs datagraph+shapegraph to an
-    external Tangram service, tangramCall.go:121-180; disabled in its
-    main path.  pyshacl is absent in this container, so the shape is
-    evaluated relationally: group per subject, check required predicate
-    set — the evaluation strategy a 100 TB deployment would want anyway,
-    since per-doc SHACL engines don't vectorize)."""
+    """V1 (SHACL-lite): per-target shape conformance, driven by a parsed
+    SHACL shapes graph (KG_SHAPES_JSONLD → mill → shapes parser →
+    relational evaluation).  The reference POSTs datagraph+shapegraph to
+    an external Tangram service per doc (tangramCall.go:121-180, disabled
+    in its main path); per-doc engines don't vectorize, so conformance
+    here is one distributed aggregation pass over the triples relation
+    (operators/shacl.py)."""
+    from ..core.mill import mill
+    from ..operators.shacl import shape_conformance, shapes_from_triples
     from ..operators.stages import extract_stage, mill_stage, normalize_stage, with_source
 
+    shapes = shapes_from_triples(
+        [(r.subject, r.predicate, r.object)
+         for r in mill(KG_SHAPES_JSONLD, "shapes", "")]
+    )
     pages = _kg_pages(spark, sf_dir)
     docs = normalize_stage(extract_stage(with_source(pages, None))).filter(
         F.col("valid")
     )
     triples = mill_stage(docs, bucket="gleaner")
-    typed = triples.filter(
-        (F.col("predicate") == "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>")
-        & (F.col("object") == "<https://schema.org/Dataset>")
-    ).select("subject").distinct()
-    props = (
-        triples.join(typed, "subject", "left_semi")
-        .groupBy("subject")
-        .agg(
-            F.max(
-                (F.col("predicate") == "<https://schema.org/name>").cast("int")
-            ).alias("has_name"),
-            F.max(
-                (F.col("predicate") == "<https://schema.org/inLanguage>").cast("int")
-            ).alias("has_lang"),
-        )
-    )
-    return props.select(
-        "subject",
-        (F.col("has_name") + F.col("has_lang") == 2).alias("conforms"),
-    )
+    return shape_conformance(
+        triples.select("subject", "predicate", "object"), shapes
+    ).select("subject", "conforms")
 
 
 O_KG_SHAPE = f"""
@@ -1181,6 +1344,114 @@ with d as (select doc_id from documents where doc_id < {KG_DOC_LIMIT})
 select concat('<https://example.org/doc/', cast(doc_id as varchar), '>') as subject,
        true as conforms
 from d
+"""
+
+
+def q_kg_prov(spark, sf_dir):
+    """R5/J2: prov rows enriched from the sources dimension
+    (PID/ProperName/Domain joined per prov.go:83-91) — the oracle
+    reconstructs the expected enrichment per doc, and the
+    ``org_name_in_json`` column proves the rendered PROV-O JSON-LD
+    actually carries it (extracted back out with get_json_object)."""
+    from ..operators.provenance import prov_lineage
+    from ..operators.stages import extract_stage, normalize_stage, with_source
+
+    pages = _kg_pages(spark, sf_dir)
+    docs = normalize_stage(extract_stage(with_source(pages, None))).filter(
+        F.col("valid")
+    )
+    dim = docs.select("source").distinct().select(
+        F.col("source").alias("name"),
+        F.concat(F.lit("https://pid.example.org/"), "source").alias("pid"),
+        F.upper("source").alias("propername"),
+        F.col("source").alias("domain"),
+    )
+    prov = prov_lineage(docs, dim, run_id="r-prov", bucket="gleaner")
+    return prov.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        "pid", "propername", "domain", "graph_urn",
+        F.get_json_object(
+            "prov_jsonld", "$['@graph'][0]['rdf:name']"
+        ).alias("org_name_in_json"),
+    )
+
+
+O_KG_PROV = f"""
+with d as (select doc_id, source || '.example.org' as source, source as src0, lang
+           from documents where doc_id < {KG_DOC_LIMIT})
+select doc_id,
+       'https://pid.example.org/' || source as pid,
+       upper(source) as propername,
+       source as domain,
+       concat('urn:gleaner:', source, ':',
+              sha256(concat(
+  '<https://example.org/doc/', cast(doc_id as varchar), '>',
+  ' <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <https://schema.org/Dataset> .', chr(10),
+  '<https://example.org/doc/', cast(doc_id as varchar), '>',
+  ' <https://schema.org/about> "', src0, '" .', chr(10),
+  '<https://example.org/doc/', cast(doc_id as varchar), '>',
+  ' <https://schema.org/inLanguage> "', lang, '" .', chr(10),
+  '<https://example.org/doc/', cast(doc_id as varchar), '>',
+  ' <https://schema.org/name> "Doc ', cast(doc_id as varchar), '" .', chr(10)))
+       ) as graph_urn,
+       upper(source) as org_name_in_json
+from d
+"""
+
+
+def q_kg_remote_context(spark, sf_dir):
+    """Registry-resolved remote context end-to-end: a strict-mode source
+    (no context fix-ups, so the string @context survives to the
+    processor) whose docs use the vendored deployment context
+    (core/jsonld.DCTERMS_CONTEXT_URL).  Exercises prefix terms AND
+    @type:@id coercion (license) through the registry; the oracle
+    reconstructs the expected dcterms triples."""
+    from ..core.jsonld import DCTERMS_CONTEXT_URL
+    from ..operators.stages import mill_stage, normalize_stage
+
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < KG_DOC_LIMIT)
+    jsonld = F.concat(
+        F.lit('{"@context": "' + DCTERMS_CONTEXT_URL + '", '
+              '"@id": "https://example.org/rdoc/'),
+        F.col("doc_id").cast("string"),
+        F.lit('", "title": "Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('", "identifier": "'),
+        F.col("doc_id").cast("string"),
+        F.lit('", "license": "https://example.org/license/'),
+        F.col("source"),
+        F.lit('"}'),
+    )
+    blocks = d.select(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.org/rdoc/"), F.col("doc_id")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.col("source"),
+        F.concat(F.col("source"), F.lit(".example.org")).alias("host"),
+        F.col("lang"),
+        F.lit("jsonsha").alias("identifiertype"),
+        F.lit("").alias("identifierpath"),
+        F.lit("strict").alias("fixcontextoption"),
+        F.lit(0).alias("block_idx"),
+        jsonld.alias("jsonld"),
+    )
+    docs = normalize_stage(blocks).filter(F.col("valid"))
+    triples = mill_stage(docs, bucket="gleaner")
+    return triples.select("subject", "predicate", "object")
+
+
+O_KG_REMOTE_CTX = f"""
+with d as (select doc_id, source from documents where doc_id < {KG_DOC_LIMIT}),
+ids as (select concat('<https://example.org/rdoc/', cast(doc_id as varchar), '>') as s,
+               doc_id, source from d)
+select s as subject, '<http://purl.org/dc/terms/title>' as predicate,
+       concat('"Doc ', cast(doc_id as varchar), '"') as object from ids
+union all
+select s, '<http://purl.org/dc/terms/identifier>',
+       concat('"', cast(doc_id as varchar), '"') from ids
+union all
+select s, '<http://purl.org/dc/terms/license>',
+       concat('<https://example.org/license/', source, '>') from ids
 """
 
 
@@ -1346,6 +1617,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, O_DEDUP_MINHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, O_NGRAM_JACCARD),
     "dedup_simhash": (q_dedup_simhash, O_SIMHASH),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, O_SIMHASH_PAIRS),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, O_DEDUP_EMB_COS),
     # similarity search
     "ann_topk_bruteforce": (q_ann_topk_bruteforce, O_ANN_TOPK),
@@ -1357,6 +1629,8 @@ QUERIES: dict[str, tuple] = {
     "kg_graph_urn": (q_kg_graph_urn, O_KG_GRAPH_URN),
     "kg_nquads_export": (q_kg_nquads_export, O_KG_NQUADS),
     "kg_shape_validation": (q_kg_shape_validation, O_KG_SHAPE),
+    "kg_prov": (q_kg_prov, O_KG_PROV),
+    "kg_remote_context": (q_kg_remote_context, O_KG_REMOTE_CTX),
     "entity_cc": (q_entity_cc, O_ENTITY_CC),
     # multimodal metadata + streaming + non-SQL ops
     "multimodal_meta": (q_multimodal_meta, O_MULTIMODAL_META),

@@ -197,9 +197,28 @@ def test_prov_rows(spark, corpus):
     prov = spark.read.parquet(f"{out}/prov")
     r = prov.first()
     doc = json.loads(r.prov_jsonld)
-    assert doc["@id"].startswith("urn:gleaner:")
-    assert doc["prov:wasGeneratedBy"] == "t-run"
+    g = doc["@graph"]
+    assert [n["@type"] for n in g] == [
+        "prov:Organization", "prov:Entity", "prov:Collection",
+        "prov:Entity", "prov:Activity",
+    ]
+    assert g[3]["@id"].startswith("urn:gleaner:")
+    assert g[4]["prov:endedAtTime"]["@value"] == "t-run"
+    assert g[4]["prov:generated"]["@id"] == g[3]["@id"] == r.graph_urn
     assert len(r.prov_sha) == 40
+
+    # org enrichment (prov.go:83-91): known sources carry dim fields,
+    # unknown sources fall back to "unknown"
+    dim = {row["name"]: row for row in sources_rows() if row["active"]}
+    rows = prov.select("source", "pid", "propername", "domain").collect()
+    assert rows
+    for row in rows:
+        if row.source in dim:
+            assert row.pid == dim[row.source]["pid"]
+            assert row.propername == dim[row.source]["propername"]
+            assert row.domain == dim[row.source]["domain"]
+        else:
+            assert row.pid == "unknown"
 
 
 def test_resume_skips_completed_urls(spark, tmp_path):

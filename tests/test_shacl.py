@@ -1,0 +1,133 @@
+"""Relational SHACL-lite: shapes-graph parsing and constraint
+evaluation (sh:minCount / sh:maxCount / sh:nodeKind / sh:datatype /
+sh:class), plus 64-bit SimHash core↔Spark parity."""
+
+from __future__ import annotations
+
+import pytest
+
+from gleaner_spark.core.mill import mill
+from gleaner_spark.operators.shacl import (
+    NodeShape,
+    PropertyConstraint,
+    shape_conformance,
+    shapes_from_triples,
+)
+
+SCHEMA = "https://schema.org/"
+T = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        rows, "subject string, predicate string, object string"
+    )
+
+
+def test_shapes_graph_parsed_from_milled_jsonld():
+    doc = (
+        '{"@context": {"sh": "http://www.w3.org/ns/shacl#",'
+        ' "schema": "https://schema.org/"},'
+        ' "@id": "https://ex.org/shapes/S",'
+        ' "@type": "sh:NodeShape",'
+        ' "sh:targetClass": {"@id": "schema:Dataset"},'
+        ' "sh:property": ['
+        '  {"sh:path": {"@id": "schema:name"}, "sh:minCount": 1,'
+        '   "sh:maxCount": 2,'
+        '   "sh:nodeKind": {"@id": "sh:Literal"}},'
+        '  {"sh:path": {"@id": "schema:creator"}, "sh:minCount": 1,'
+        '   "sh:class": {"@id": "schema:Organization"}}]}'
+    )
+    rows = [(r.subject, r.predicate, r.object) for r in mill(doc, "sh", "")]
+    shapes = shapes_from_triples(rows)
+    assert len(shapes) == 1
+    s = shapes[0]
+    assert s.shape_id == "https://ex.org/shapes/S"
+    assert s.target_class == SCHEMA + "Dataset"
+    by_path = {c.path: c for c in s.properties}
+    name = by_path[SCHEMA + "name"]
+    assert (name.min_count, name.max_count, name.node_kind) == (1, 2, "Literal")
+    creator = by_path[SCHEMA + "creator"]
+    assert creator.class_iri == SCHEMA + "Organization"
+
+
+def test_conformance_min_max_nodekind(spark):
+    shape = NodeShape(
+        "S", SCHEMA + "Dataset",
+        [PropertyConstraint(SCHEMA + "name", min_count=1, max_count=2,
+                            node_kind="Literal")],
+    )
+    rows = [
+        ("<a>", T, f"<{SCHEMA}Dataset>"),
+        ("<a>", f"<{SCHEMA}name>", '"ok"'),
+        ("<b>", T, f"<{SCHEMA}Dataset>"),            # missing name
+        ("<c>", T, f"<{SCHEMA}Dataset>"),            # too many names
+        ("<c>", f"<{SCHEMA}name>", '"1"'),
+        ("<c>", f"<{SCHEMA}name>", '"2"'),
+        ("<c>", f"<{SCHEMA}name>", '"3"'),
+        ("<d>", T, f"<{SCHEMA}Dataset>"),            # IRI name ≠ Literal
+        ("<d>", f"<{SCHEMA}name>", "<https://x.org/n>"),
+        ("<e>", f"<{SCHEMA}name>", '"not a target"'),  # not targeted
+    ]
+    got = {
+        r.subject: r.conforms
+        for r in shape_conformance(_triples(spark, rows), [shape]).collect()
+    }
+    assert got == {"<a>": True, "<b>": False, "<c>": False, "<d>": False}
+
+
+def test_conformance_datatype_and_class(spark):
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    shape = NodeShape(
+        "S", SCHEMA + "Dataset",
+        [
+            PropertyConstraint(SCHEMA + "version", min_count=1,
+                               datatype=xsd_int),
+            PropertyConstraint(SCHEMA + "creator", min_count=1,
+                               class_iri=SCHEMA + "Organization"),
+        ],
+    )
+    rows = [
+        ("<a>", T, f"<{SCHEMA}Dataset>"),
+        ("<a>", f"<{SCHEMA}version>", f'"3"^^<{xsd_int}>'),
+        ("<a>", f"<{SCHEMA}creator>", "<org1>"),
+        ("<org1>", T, f"<{SCHEMA}Organization>"),
+        ("<b>", T, f"<{SCHEMA}Dataset>"),
+        ("<b>", f"<{SCHEMA}version>", '"3"'),        # plain string, not int
+        ("<b>", f"<{SCHEMA}creator>", "<org1>"),
+        ("<c>", T, f"<{SCHEMA}Dataset>"),
+        ("<c>", f"<{SCHEMA}version>", f'"1"^^<{xsd_int}>'),
+        ("<c>", f"<{SCHEMA}creator>", "<person1>"),  # not an Organization
+        ("<person1>", T, f"<{SCHEMA}Person>"),
+    ]
+    got = {
+        r.subject: r.conforms
+        for r in shape_conformance(_triples(spark, rows), [shape]).collect()
+    }
+    assert got == {"<a>": True, "<b>": False, "<c>": False}
+
+
+def test_conformance_requires_a_shape(spark):
+    with pytest.raises(ValueError, match="no NodeShape"):
+        shape_conformance(_triples(spark, [("<a>", T, "<t>")]), [])
+
+
+def test_simhash64_core_vs_spark_parity(spark):
+    from pyspark.sql import functions as F
+
+    from gleaner_spark.core.text import hamming_hex, simhash64_hex
+    from gleaner_spark.plans.queries import _simhash64_frame
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "Völlig anderer Text mit Umlauten über alles"),
+        (3, "a"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r.doc_id: r.simhash64 for r in _simhash64_frame(df).collect()}
+    for i, t in texts:
+        assert got[i] == simhash64_hex(t), (i, t)
+    # near-identical docs land within a small Hamming distance
+    assert hamming_hex(got[0], got[1]) <= 16
+    assert hamming_hex(got[0], got[0]) == 0
