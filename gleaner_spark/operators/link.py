@@ -375,7 +375,10 @@ def sameas_map(triples: DataFrame, threshold: float = JACCARD_THRESHOLD) -> Data
 
 def canonicalize_triples(triples: DataFrame, sameas: DataFrame) -> DataFrame:
     """Rewrite subject/object through the sameAs map (two left joins —
-    broadcast when small, sort-merge otherwise; AQE decides)."""
+    broadcast when small, sort-merge otherwise; AQE decides).  The
+    ``_rewritten`` flag marks rows the rewrite actually touched —
+    ``materialize_triples`` dedups only the graphs containing such rows
+    instead of shuffling the whole relation."""
     s_map = sameas.select(F.col("entity").alias("subject"),
                           F.col("canonical").alias("subject_canon"))
     o_map = sameas.select(F.col("entity").alias("object"),
@@ -389,6 +392,8 @@ def canonicalize_triples(triples: DataFrame, sameas: DataFrame) -> DataFrame:
             F.coalesce("object_canon", "object").alias("object"),
             "graph",
             "source",
+            (F.col("subject_canon").isNotNull()
+             | F.col("object_canon").isNotNull()).alias("_rewritten"),
         )
     )
 
@@ -412,5 +417,6 @@ def link_stage(triples: DataFrame, threshold: float = JACCARD_THRESHOLD) -> Data
         F.col("canonical").alias("object"),
         F.lit("urn:gleaner:link:sameas").alias("graph"),
         F.lit("_link").alias("source"),
+        F.lit(True).alias("_rewritten"),
     )
     return canon.unionByName(sameas_triples)

@@ -80,9 +80,19 @@ def extract_stage(pages_with_source: DataFrame) -> DataFrame:
     """
     extracted = pages_with_source.withColumn(
         "jsonlds", extract_jsonld_udf(F.col("html"), F.col("url"))
+    ).withColumn(
+        # headless-coverage signal (S5 gap metric): the raw bytes mention
+        # ld+json somewhere — if extraction then yields zero blocks, the
+        # JSON-LD is likely injected by scripts the reference renders
+        # headlessly (headlessNG.go:151-429).  Pure JVM contains() on the
+        # bytes; stats counts the (block_idx = -1 AND marker) pages so
+        # the gap is MEASURED instead of silently missing.
+        "has_ldjson_marker",
+        F.col("html").cast("string").contains("application/ld+json"),
     )
     cols = ["url", "warc_ts", "source", "host", "lang",
-            "identifiertype", "identifierpath", "fixcontextoption"]
+            "identifiertype", "identifierpath", "fixcontextoption",
+            "has_ldjson_marker"]
     exploded = (
         extracted.select(
             *cols,
@@ -126,7 +136,17 @@ def dedup_docs(docs: DataFrame) -> DataFrame:
     object naming (summoned/{source}/{sha}.jsonld overwrites); we make it
     explicit and deterministic — keep the lexicographically smallest
     (url, block_idx) per doc_sha1 so results are partitioning-independent.
-    One shuffle on doc_sha1 with map-side partial aggregation."""
+    One shuffle on doc_sha1 with map-side partial aggregation.
+
+    Second pass: GRAPH-IDENTITY dedup on (source, norm_sha256).  The
+    graph URN is ``urn:{bucket}:{source}:{norm_sha256}``, so two docs
+    with different raw bytes but identical URDNA2015 canonicalization
+    would share a graph (the reference's milled object
+    ``milled/{source}/{sha}`` — last write wins); keeping one
+    deterministic survivor guarantees EVERY GRAPH HAS EXACTLY ONE DOC,
+    which is what lets ``materialize_triples`` skip the full-relation
+    triple dedup (the fattest shuffle in the pipeline) for untouched
+    graphs."""
     valid = docs.filter(F.col("valid"))
     keyed = valid.withColumn(
         "dedup_rank",
@@ -141,7 +161,25 @@ def dedup_docs(docs: DataFrame) -> DataFrame:
             F.col("keep.block_idx").alias("block_idx"),
         )
     )
-    return valid.join(best, ["doc_sha1", "url", "block_idx"], "left_semi")
+    out = valid.join(best, ["doc_sha1", "url", "block_idx"], "left_semi")
+    keyed2 = out.withColumn(
+        "graph_rank", F.struct(F.col("doc_sha1"), F.col("url"),
+                               F.col("block_idx")),
+    )
+    best2 = (
+        keyed2.groupBy("source", "norm_sha256")
+        .agg(F.min("graph_rank").alias("keep"))
+        .select(
+            "source", "norm_sha256",
+            F.col("keep.doc_sha1").alias("doc_sha1"),
+            F.col("keep.url").alias("url"),
+            F.col("keep.block_idx").alias("block_idx"),
+        )
+    )
+    return out.join(
+        best2, ["source", "norm_sha256", "doc_sha1", "url", "block_idx"],
+        "left_semi",
+    )
 
 
 def mill_stage(docs: DataFrame, bucket: str = DEFAULT_BUCKET) -> DataFrame:
@@ -183,8 +221,27 @@ def materialize_triples(triples: DataFrame) -> DataFrame:
     """S5: final (subject, predicate, object, graph) relation, distinct
     within graph, deterministically ordered for export (the reference's
     PipeCopy concat order is unspecified listing order, pipecopy.go:15-81;
-    we sort — an intentional determinism improvement, SURVEY.md J9)."""
-    return (
-        triples.select("subject", "predicate", "object", "graph", "source")
-        .dropDuplicates(["graph", "subject", "predicate", "object"])
+    we sort — an intentional determinism improvement, SURVEY.md J9).
+
+    Shuffle avoidance: per-graph uniqueness holds by construction
+    upstream (per-doc seen-set in ``to_rdf`` + one-doc-per-graph from
+    ``dedup_docs``), so duplicates can only appear where the linker
+    REWROTE a subject/object.  When the linker's ``_rewritten`` flag is
+    present, only graphs containing a rewritten row pay the dedup
+    shuffle — everything else passes through on a broadcast anti-join of
+    the (small) affected-graph list, instead of shuffling the fattest
+    relation in the pipeline."""
+    cols = ["subject", "predicate", "object", "graph", "source"]
+    key = ["graph", "subject", "predicate", "object"]
+    if "_rewritten" not in triples.columns:
+        return triples.select(*cols).dropDuplicates(key)
+    affected = triples.filter(F.col("_rewritten")).select("graph").distinct()
+    touched = (
+        triples.join(F.broadcast(affected), "graph", "left_semi")
+        .select(*cols)
+        .dropDuplicates(key)
     )
+    untouched = triples.join(
+        F.broadcast(affected), "graph", "left_anti"
+    ).select(*cols)
+    return untouched.unionByName(touched)

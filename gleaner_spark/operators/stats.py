@@ -13,12 +13,22 @@ def run_stats(blocks: DataFrame, docs: DataFrame) -> DataFrame:
     """Per-source counters.  ``blocks`` is the extract-stage output
     (block_idx = -1 marks a no-JSON-LD page visit), ``docs`` the
     normalize-stage output (valid flag + dedup info)."""
+    marker = (
+        F.col("has_ldjson_marker")
+        if "has_ldjson_marker" in blocks.columns else F.lit(False)
+    )
     page_counts = blocks.groupBy("source").agg(
         F.countDistinct("url").alias("count"),
         F.count(F.when(F.col("block_idx") >= 0, 1)).alias("summoned"),
         F.countDistinct(
             F.when(F.col("block_idx") == -1, F.col("url"))
         ).alias("empty_doc"),
+        # S5 coverage gap, measured: pages whose bytes mention ld+json
+        # but yielded no script block — JS-injected JSON-LD the reference
+        # only reaches via headless rendering (headlessNG.go:151-429)
+        F.countDistinct(
+            F.when((F.col("block_idx") == -1) & marker, F.col("url"))
+        ).alias("headless_candidates"),
     )
     doc_counts = docs.groupBy("source").agg(
         F.count(F.when(F.col("valid"), 1)).alias("stored"),
@@ -27,5 +37,6 @@ def run_stats(blocks: DataFrame, docs: DataFrame) -> DataFrame:
     return (
         page_counts.join(doc_counts, "source", "left")
         .na.fill(0, ["stored", "issues"])
-        .select("source", "count", "summoned", "stored", "issues", "empty_doc")
+        .select("source", "count", "summoned", "stored", "issues",
+                "empty_doc", "headless_candidates")
     )

@@ -1,0 +1,98 @@
+"""MinHash function-boundary contracts (round-2 ADVICE): the empty-
+shingle sentinel, the 16-rotation limit, and graph-identity doc dedup +
+rewrite-flagged materialize."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gleaner_spark.core.text import md5_minhash_signature
+from gleaner_spark.functions.minhash import minhash_frame
+
+
+def test_minhash_empty_shingles_get_sentinel(spark):
+    df = spark.createDataFrame(
+        [(1, ["abc", "def"]), (2, []), (3, None)],
+        "id long, shingles array<string>",
+    )
+    got = {r.id: list(r.mh) for r in minhash_frame(df, ["id"], k=4).collect()}
+    assert set(got) == {1, 2, 3}  # empty/null rows are KEPT
+    assert got[2] == md5_minhash_signature([], 4)
+    assert got[3] == md5_minhash_signature([], 4)
+    assert got[1] == md5_minhash_signature(["abc", "def"], 4)
+
+
+def test_minhash_k_limit_enforced(spark):
+    df = spark.createDataFrame([(1, ["a"])], "id long, shingles array<string>")
+    with pytest.raises(ValueError, match="1..16"):
+        minhash_frame(df, ["id"], k=17)
+    with pytest.raises(ValueError, match="1..16"):
+        md5_minhash_signature(["a"], 17)
+    from gleaner_spark.plans.queries import _minhash_sql
+
+    with pytest.raises(ValueError, match="1..16"):
+        _minhash_sql("shingles", True, k=20)
+
+
+def test_dedup_docs_collapses_norm_sha_collisions(spark):
+    """Two raw-byte-distinct docs with identical URDNA2015 normalization
+    share a graph URN — dedup_docs must keep exactly one so every graph
+    has one doc (the invariant materialize_triples relies on)."""
+    from gleaner_spark.operators.stages import dedup_docs, normalize_stage
+
+    # same doc content, different key order → different raw bytes/sha1,
+    # identical canonical n-quads
+    a = ('{"@context": {"@vocab": "https://schema.org/"}, '
+         '"@id": "https://x.org/d", "@type": "Dataset", "name": "N"}')
+    b = ('{"@id": "https://x.org/d", "@type": "Dataset", "name": "N", '
+         '"@context": {"@vocab": "https://schema.org/"}}')
+    blocks = spark.createDataFrame(
+        [("https://h.org/1", "srcA", a), ("https://h.org/2", "srcA", b)],
+        "url string, source string, jsonld string",
+    ).select(
+        "url", F.lit(None).cast("timestamp").alias("warc_ts"), "source",
+        F.lit("h.org").alias("host"), F.lit("en").alias("lang"),
+        F.lit("jsonsha").alias("identifiertype"),
+        F.lit("").alias("identifierpath"),
+        F.lit("strict").alias("fixcontextoption"),
+        F.lit(0).alias("block_idx"), "jsonld",
+    )
+    docs = normalize_stage(blocks)
+    rows = docs.filter(F.col("valid")).collect()
+    assert len(rows) == 2
+    assert rows[0].doc_sha1 != rows[1].doc_sha1        # raw shas differ
+    assert rows[0].norm_sha256 == rows[1].norm_sha256  # same graph id
+    kept = dedup_docs(docs).collect()
+    assert len(kept) == 1
+    # deterministic survivor: min by (doc_sha1, url, block_idx)
+    expected = min((r.doc_sha1, r.url) for r in rows)
+    assert (kept[0].doc_sha1, kept[0].url) == expected
+
+
+def test_materialize_dedups_only_rewritten_graphs(spark):
+    """With the linker's _rewritten flag, untouched graphs bypass the
+    full-relation dedup shuffle; rewritten graphs still dedup exactly."""
+    from gleaner_spark.operators.stages import materialize_triples
+
+    rows = [
+        # untouched graph g1 (unique by construction upstream)
+        ("<s1>", "<p>", "<o>", "g1", "src", False),
+        ("<s1>", "<p>", '"v"', "g1", "src", False),
+        # graph g2: rewrite collapsed two subjects into one → exact dupes
+        ("<c>", "<p>", "<o>", "g2", "src", True),
+        ("<c>", "<p>", "<o>", "g2", "src", False),
+    ]
+    df = spark.createDataFrame(
+        rows, "subject string, predicate string, object string, "
+              "graph string, source string, _rewritten boolean",
+    )
+    out = materialize_triples(df)
+    assert "_rewritten" not in out.columns
+    got = {(r.subject, r.predicate, r.object, r.graph) for r in out.collect()}
+    assert got == {
+        ("<s1>", "<p>", "<o>", "g1"),
+        ("<s1>", "<p>", '"v"', "g1"),
+        ("<c>", "<p>", "<o>", "g2"),
+    }
+    assert out.count() == 3

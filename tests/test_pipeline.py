@@ -184,6 +184,19 @@ def test_stats_totals(corpus):
     assert totals.summoned > 0
 
 
+def test_headless_gap_measured(corpus):
+    """S5 coverage gap is measured, not silent: every synthetic no-JSON-LD
+    page carries the commented-out ld+json decoy, so each empty_doc page
+    is also a headless candidate in this corpus."""
+    result, _, _ = corpus
+    tot = result.stats.agg(
+        F.sum("headless_candidates").alias("hc"),
+        F.sum("empty_doc").alias("ed"),
+    ).first()
+    assert tot.hc > 0
+    assert tot.hc == tot.ed
+
+
 def test_per_partition_lineage_written(spark, corpus):
     _, out, _ = corpus
     lineage = spark.read.parquet(f"{out}/lineage")
