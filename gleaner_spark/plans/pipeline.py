@@ -126,6 +126,11 @@ def run_pipeline(
     cfg: PipelineConfig,
 ) -> PipelineResult:
     base = cfg.output_dir
+    # V2 preflight (check.go:14-118 analogue): schema + writability
+    # validation before any distributed work or directory creation
+    from .preflight import preflight_checks
+
+    preflight_checks(pages, sources_dim, base)
     os.makedirs(base, exist_ok=True)
 
     skipped = None

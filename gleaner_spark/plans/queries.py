@@ -423,6 +423,34 @@ from events where event_id < 200
 # text-analysis operators (training-data pipeline)
 # ---------------------------------------------------------------------------
 
+def q_robots_filter(spark, sf_dir):
+    """S2: robots disallow filtering — broadcast anti-join of per-host
+    path-prefix rules against a page-URL relation (the reference tests
+    every candidate URL against the parsed robots group,
+    acquire/utils.go:10-39).  Rule here: every host disallows /doc/1*."""
+    from ..operators.robots import robots_filter
+
+    d = _load(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.org/doc/"), F.col("doc_id")).alias("url"),
+        "doc_id", "source",
+    )
+    rules = d.select("source").distinct().select(
+        F.concat(F.col("source"), F.lit(".example.org")).alias("host"),
+        F.lit("/doc/1").alias("disallow_prefix"),
+    )
+    return robots_filter(pages, rules).select("doc_id", "source", "url")
+
+
+O_ROBOTS_FILTER = """
+select doc_id, source,
+       concat('https://', source, '.example.org/doc/', cast(doc_id as varchar)) as url
+from documents
+where cast(doc_id as varchar) not like '1%'
+"""
+
+
 def q_text_normalize(spark, sf_dir):
     d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return d.select("doc_id", F.expr(_norm_sql("text", False)).alias("text_norm"))
@@ -1102,6 +1130,74 @@ select label, vec_id, cos_sim, rnk from (
 """
 
 
+def q_ann_multiprobe(spark, sf_dir):
+    """Multi-probe sign-LSH ANN: every vector hashes to ONE 8-bit sign
+    bucket; the query probes its own bucket plus all 8 Hamming-1
+    neighbours (9 buckets) and brute-forces only inside them — recall
+    recovers most of what single-bucket LSH loses at ~9/256 of the
+    brute-force cost.  At 10^12 vectors the bit-width scales up (more,
+    smaller buckets) and the probe list stays an O(bits) broadcast.
+    Top-k via TakeOrderedAndProject (no corpus-wide window)."""
+    n_bits = 8
+    e = _load(spark, sf_dir, "embeddings")
+    bucket = F.expr(
+        f"concat_ws('', transform(slice(embedding, 1, {n_bits}),"
+        " x -> case when x >= 0 then '1' else '0' end))"
+    )
+    eb = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    q = eb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qb")
+    )
+    probes = q.select(
+        "qv",
+        F.explode(F.expr(
+            f"transform(sequence(0, {n_bits}), i -> case when i = 0 then qb"
+            " else concat(substring(qb, 1, i - 1),"
+            " case when substring(qb, i, 1) = '0' then '1' else '0' end,"
+            f" substring(qb, i + 1, {n_bits} - i)) end)"
+        )).alias("bucket"),
+    )
+    scored = (
+        eb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probes), "bucket")
+        .withColumn("cos_sim", F.round(F.expr(_cosine_expr("embedding", "qv")), 6))
+        .select("vec_id", "cos_sim")
+    )
+    return _ranked_topk(scored, ["vec_id", "cos_sim", "rnk"], k=10)
+
+
+O_ANN_MULTIPROBE = """
+with eb as (
+  select vec_id, embedding::DOUBLE[] as ev,
+         array_to_string(list_transform(embedding[1:8],
+           x -> case when x >= 0 then '1' else '0' end), '') as bucket
+  from embeddings
+),
+q as (select ev as qv, bucket as qb from eb where vec_id = 0),
+probes as (
+  select distinct unnest(list_transform(generate_series(0, 8),
+    i -> case when i = 0 then qb
+         else substring(qb, 1, i - 1)
+              || (case when substring(qb, i, 1) = '0' then '1' else '0' end)
+              || substring(qb, i + 1, 8 - i) end)) as bucket
+  from q
+),
+scored as (
+  select e.vec_id,
+         round(list_dot_product(e.ev, q.qv)
+               / (sqrt(list_dot_product(e.ev, e.ev))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) as cos_sim
+  from eb e join probes using (bucket), q
+  where e.vec_id <> 0
+)
+select vec_id, cos_sim, rnk from (
+  select vec_id, cos_sim,
+         row_number() over (order by cos_sim desc, vec_id asc) as rnk
+  from scored
+) where rnk <= 10
+"""
+
+
 def q_token_count_bpe(spark, sf_dir):
     """BPE-ish tokenization: word pieces + individual punctuation via
     regexp_extract_all — the subword-style token counter of
@@ -1605,6 +1701,7 @@ QUERIES: dict[str, tuple] = {
     "count_scan": (q_count_scan, O_COUNT_SCAN),
     "hash_ids": (q_hash_ids, O_HASH_IDS),
     "json_path_extract": (q_json_path_extract, O_JSON_PATH),
+    "robots_filter": (q_robots_filter, O_ROBOTS_FILTER),
     # text analysis
     "text_normalize": (q_text_normalize, O_TEXT_NORMALIZE),
     "token_count": (q_token_count, O_TOKEN_COUNT),
@@ -1622,6 +1719,7 @@ QUERIES: dict[str, tuple] = {
     # similarity search
     "ann_topk_bruteforce": (q_ann_topk_bruteforce, O_ANN_TOPK),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, O_ANN_LSH),
+    "ann_multiprobe": (q_ann_multiprobe, O_ANN_MULTIPROBE),
     "embedding_centroids": (q_embedding_centroids, O_CENTROIDS),
     "ann_ivf_probe": (q_ann_ivf_probe, O_ANN_IVF),
     # KG pipeline end-to-end
