@@ -85,12 +85,22 @@ def _prepare_corpus(n_pages: int, profile: str) -> str:
     """Generate the deterministic page corpus to parquet ONCE (untimed):
     the benchmarked job reads a Common-Crawl-shaped table exactly as the
     input_hint prescribes — generation cost stays out of the timing."""
+    import atexit
+
     override = os.environ.get("BENCH_CORPUS_DIR")
     if override:
         return override
     key = (n_pages, profile)
     if key in _CORPUS_CACHE:
         return _CORPUS_CACHE[key]
+    # generated corpora are big (heavy 960k ≈ 17 GB) — always reap them
+    # at exit or repeated bench rounds fill the disk and kill shuffles
+    # mid-write (observed: DiskBlockObjectWriter failure at 73% used)
+    if not _CORPUS_CACHE:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True)
+                     for p in _CORPUS_CACHE.values()]
+        )
     from gleaner_spark.plans.session import build_session
     from gleaner_spark.sources.pages import gen_pages_spark
 

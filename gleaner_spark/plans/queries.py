@@ -917,6 +917,22 @@ select vec_id, cos_sim, rnk from (
 """
 
 
+def q_ann_topk_vectorized(spark, sf_dir):
+    """Same semantics as ann_topk_bruteforce, scored on the Arrow/NumPy
+    path (functions/vecmath.py: one BLAS matrix-vector product per Arrow
+    batch) instead of interpreted zip_with/aggregate higher-order
+    functions — the formulation that wins when dim and corpus grow.
+    Shares ann_topk_bruteforce's oracle: identical rounded scores."""
+    from ..functions.vecmath import cosine_scores
+
+    e = _load(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    scored = cosine_scores(
+        e.filter(F.col("vec_id") != 0), "embedding", list(qv)
+    ).select("vec_id", "cos_sim")
+    return _ranked_topk(scored, ["vec_id", "cos_sim", "rnk"], k=10)
+
+
 def q_ann_lsh_bucketed(spark, sf_dir):
     """Scale-path ANN: sign-bucket LSH (first 8 dims' signs) → top-5
     within-bucket pairs per bucket by cosine.  At 10^12 scale the bucket
@@ -1646,6 +1662,80 @@ from events group by 1, 2
 """
 
 
+SESSION_GAP = 1800
+
+
+def q_streaming_sessionize(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user sessionization with a 30-min gap, state carried ACROSS
+    micro-batches (events are time-split into two segments + a flush
+    punctuation segment, drained one file per trigger).  Input is
+    distinct (user_id, second-floored ts) so the session assignment is
+    totally ordered and the DuckDB lag/cumsum oracle is exactly
+    comparable."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.stateful import FLUSH_MARKER, run_sessionize_over_segments
+
+    ev = (
+        _load(spark, sf_dir, "events")
+        .select("user_id", F.unix_timestamp("ts").cast("long").alias("t"))
+        .distinct()
+    )
+    mm = ev.agg(F.min("t").alias("lo"), F.max("t").alias("hi")).first()
+    mid = (mm.lo + mm.hi) // 2
+    seg0 = ev.filter(F.col("t") <= mid).withColumn("event_type", F.lit("e"))
+    seg1 = ev.filter(F.col("t") > mid).withColumn("event_type", F.lit("e"))
+    flush = ev.groupBy("user_id").agg(
+        (F.max("t") + 10 * SESSION_GAP).alias("t")
+    ).withColumn("event_type", F.lit(FLUSH_MARKER))
+
+    feed = tempfile.mkdtemp(prefix="sess_feed_")
+    for i, seg in enumerate((seg0, seg1, flush)):
+        tmp = os.path.join(feed, f"_tmp{i}")
+        seg.select("user_id", "t", "event_type").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(f for f in sorted(os.listdir(tmp))
+                    if f.endswith(".parquet"))
+        # flat, ordered file names: FileStreamSource drains oldest-mtime
+        # (then lexicographic) first → seg0, seg1, flush = 3 batches
+        shutil.move(os.path.join(tmp, part),
+                    os.path.join(feed, f"seg{i}.parquet"))
+        shutil.rmtree(tmp)
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    return run_sessionize_over_segments(spark, feed, name,
+                                        gap_seconds=SESSION_GAP)
+
+
+O_STREAMING_SESSIONIZE = f"""
+with e as (
+  select distinct user_id, floor(epoch(ts))::bigint as t from events
+),
+ordered as (
+  select user_id, t, lag(t) over (partition by user_id order by t) as prev
+  from e
+),
+marked as (
+  select user_id, t,
+         case when prev is null or t - prev > {SESSION_GAP} then 1 else 0 end as ns
+  from ordered
+),
+sess as (
+  select user_id, t,
+         (sum(ns) over (partition by user_id order by t
+                        rows unbounded preceding)) - 1 as session_idx
+  from marked
+)
+select user_id, session_idx::bigint as session_idx, count(*) as n_events,
+       min(t) as t_start, max(t) as t_end
+from sess group by user_id, session_idx
+"""
+
+
 def q_streaming_incremental_kg(spark, sf_dir):
     """The KG pipeline as a Structured Streaming job
     (streaming/incremental.py): two synthetic WARC segments land in a
@@ -1718,6 +1808,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, O_DEDUP_EMB_COS),
     # similarity search
     "ann_topk_bruteforce": (q_ann_topk_bruteforce, O_ANN_TOPK),
+    "ann_topk_vectorized": (q_ann_topk_vectorized, O_ANN_TOPK),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, O_ANN_LSH),
     "ann_multiprobe": (q_ann_multiprobe, O_ANN_MULTIPROBE),
     "embedding_centroids": (q_embedding_centroids, O_CENTROIDS),
@@ -1735,6 +1826,7 @@ QUERIES: dict[str, tuple] = {
     "multimodal_decode": (q_multimodal_decode, None),
     "multimodal_frames": (q_multimodal_frames, None),
     "streaming_event_counts": (q_streaming_event_counts, O_STREAMING),
+    "streaming_sessionize": (q_streaming_sessionize, O_STREAMING_SESSIONIZE),
     "streaming_incremental_kg": (q_streaming_incremental_kg, None),
     "winnow_fingerprint": (q_winnow_fingerprint, None),
 }

@@ -111,7 +111,8 @@ def _subtree_has_limit(node) -> bool:
 
 
 # queries whose construction starts a streaming job — audited elsewhere
-WINDOW_AUDIT_SKIP = {"streaming_event_counts", "streaming_incremental_kg"}
+WINDOW_AUDIT_SKIP = {"streaming_event_counts", "streaming_incremental_kg",
+                     "streaming_sessionize"}
 
 
 def test_no_unbounded_unpartitioned_window(spark):
@@ -133,6 +134,17 @@ def test_no_unbounded_unpartitioned_window(spark):
     assert not offenders, (
         f"unpartitioned Window over unbounded input in: {offenders}"
     )
+
+
+def test_robots_filter_is_broadcast_anti_join(spark):
+    """S2: the rules side broadcasts; the page relation is never
+    shuffled for the robots test."""
+    df = QUERIES["robots_filter"][0](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # pages are never sort-merge-joined (the rules-dim build may shuffle
+    # its own tiny distinct, but the page relation only meets a broadcast)
+    assert "SortMergeJoin" not in plan
 
 
 def test_ann_topk_plans_as_take_ordered(spark):

@@ -135,6 +135,53 @@ def test_crash_between_sinks_recovers(spark, feed_dirs):
     assert d.select("doc_sha1").distinct().count() == d.count()
 
 
+def test_stateful_sessionize_carries_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState: a session OPEN at the end of batch 1 must
+    continue in batch 2 (state store), and the flush punctuation closes
+    the final open session."""
+    import shutil
+    import uuid
+
+    from gleaner_spark.streaming.stateful import (
+        FLUSH_MARKER,
+        run_sessionize_over_segments,
+    )
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    segs = [
+        [(1, 0, "e"), (1, 100, "e"), (2, 50, "e")],
+        [(1, 200, "e"), (1, 5000, "e"), (2, 10000, "e")],
+        [(1, 99999, FLUSH_MARKER), (2, 99999, FLUSH_MARKER)],
+    ]
+    for i, rows in enumerate(segs):
+        tmp = str(tmp_path / f"_t{i}")
+        spark.createDataFrame(
+            rows, "user_id long, t long, event_type string"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in sorted(os.listdir(tmp))
+                    if f.endswith(".parquet"))
+        shutil.move(os.path.join(tmp, part),
+                    os.path.join(feed, f"seg{i}.parquet"))
+
+    out = run_sessionize_over_segments(
+        spark, feed, f"sess_test_{uuid.uuid4().hex[:6]}", gap_seconds=1800
+    )
+    got = {
+        (r.user_id, r.session_idx): (r.n_events, r.t_start, r.t_end)
+        for r in out.collect()
+    }
+    assert got == {
+        # user 1 session 0 spans batch 1+2 (0,100,200); 5000 opens a new
+        # session closed by the flush
+        (1, 0): (3, 0, 200),
+        (1, 1): (1, 5000, 5000),
+        # user 2: 50 then 10000 (> gap) → two sessions
+        (2, 0): (1, 50, 50),
+        (2, 1): (1, 10000, 10000),
+    }
+
+
 def test_windowed_host_rates(spark, feed_dirs, tmp_path):
     pages_dir, _ = feed_dirs
     _land(spark, pages_dir, 0, 300, "seg0")
