@@ -42,6 +42,24 @@ def minhash_frame(df: DataFrame, id_cols: list[str],
     ex = df.select(*id_cols, F.explode_outer(shingles_col).alias("s")).withColumn(
         "h", F.coalesce(F.md5("s"), F.lit(EMPTY_MD5))
     )
+    return minhash_from_rows(ex, id_cols, k=k)
+
+
+def minhash_from_rows(rows: DataFrame, id_cols: list[str],
+                      k: int = 16) -> DataFrame:
+    """(id_cols..., h: md5-hex per shingle ROW) → (id_cols..., mh).
+
+    The row-shaped entry point: callers that can produce shingle rows
+    with plain codegen expressions (e.g. posexplode of a token index +
+    try_element_at — see plans.queries._shingle_rows) skip the
+    interpreted higher-order-function array construction entirely
+    (measured 13× on the sf0.1 dup-rich corpus).  Duplicate shingle rows
+    are harmless (min over duplicates == min over the set); every id
+    must contribute ≥ 1 row (the generators guarantee one, possibly-''
+    shingle per doc)."""
+    if not 1 <= k <= 16:
+        raise ValueError(f"rotation MinHash supports 1..16 hashes, got k={k}")
+    ex = rows if "h" in rows.columns else rows.withColumn("h", F.md5("s"))
     mins = ex.groupBy(*id_cols).agg(
         *[
             F.min(

@@ -103,6 +103,34 @@ def _minhash_frame(df, id_cols: list[str], k: int = NUM_MINHASH):
     return minhash_frame(df, id_cols, k=k)
 
 
+def _shingle_rows(df, text_col: str = "text"):
+    """(doc_id, s) word-3-gram shingle ROWS on the whole-stage-codegen
+    path: posexplode a token index + try_element_at instead of building
+    the shingle array with ``transform(sequence(...))`` — higher-order
+    functions evaluate their lambda INTERPRETED per element, measured
+    13× slower for the identical downstream min-agg at sf0.1 (11.8 s →
+    0.9 s).  Emits duplicates (harmless for MinHash's min; ``.distinct()``
+    recovers set semantics for Jaccard); short/empty docs yield exactly
+    one (possibly partial or '') shingle, matching ``_shingles_sql``'s
+    ``greatest(size-2, 1)`` slice semantics."""
+    ws = _tokens_sql(text_col, False)
+    return (
+        df.select("doc_id", F.expr(ws).alias("ws"))
+        .select(
+            "doc_id",
+            F.expr("explode(sequence(1, greatest(size(ws) - 2, 1)))").alias("i"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "concat_ws(' ', try_element_at(ws, i),"
+                " try_element_at(ws, i + 1), try_element_at(ws, i + 2))"
+            ).alias("s"),
+        )
+    )
+
+
 def _stop_hits_sql(col: str, lang: str, duck: bool) -> str:
     """Non-overlapping occurrence count of the lang's stopwords in the
     space-padded normalized text (replace-trick, identical in both)."""
@@ -524,11 +552,10 @@ def q_minhash_signature(spark, sf_dir):
     column expressions over shingle rows, then groupBy-min — the
     array/HOF formulation runs interpreted per element and was measured
     ~25× slower at sf0.1."""
+    from ..functions.minhash import minhash_from_rows
+
     d = _load(spark, sf_dir, "documents")
-    sh_df = d.select(
-        "doc_id", F.expr(_shingles_sql("text", False)).alias("shingles")
-    )
-    return _minhash_frame(sh_df, ["doc_id"]).select(
+    return minhash_from_rows(_shingle_rows(d), ["doc_id"], k=NUM_MINHASH).select(
         "doc_id", F.concat_ws("|", "mh").alias("minhash_sig")
     )
 
@@ -553,11 +580,10 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     shingle → 16-hash signature → 4 bands of 4 → capped bucket join →
     ordered distinct pairs.  Buckets larger than LSH_MAX_BUCKET are
     dropped before the self-join (oracle applies the identical cap)."""
+    from ..functions.minhash import minhash_from_rows
+
     d = _dup_rich_docs(spark, sf_dir)
-    sh_df = d.select(
-        "doc_id", F.expr(_shingles_sql("text", False)).alias("shingles")
-    )
-    sig = _minhash_frame(sh_df, ["doc_id"])
+    sig = minhash_from_rows(_shingle_rows(d), ["doc_id"], k=NUM_MINHASH)
     n_bands = NUM_MINHASH // LSH_BAND
     bands = sig.select(
         "doc_id",
@@ -614,14 +640,20 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     exhaustive oracle; only the candidate space shrinks."""
     t = 0.5
     d = _dup_rich_docs(spark, sf_dir)
-    sh = d.select(
-        "doc_id", F.expr(_shingles_sql("text", False)).alias("shingles")
-    ).withColumn("n_sh", F.size("shingles"))
-    # sh feeds the inverted index AND both verification sides — barrier
-    # so the shingle expression computes once
-    sh = sh.localCheckpoint(eager=True)
+    # codegen shingle rows (see _shingle_rows: 13× vs the HOF array
+    # build) → distinct for set semantics → one groupBy assembles the
+    # per-doc sorted set for verification; the rows frame feeds the
+    # inverted index, the counts, AND the verification sets — barrier so
+    # the shingle expression computes once
+    rows = _shingle_rows(d).distinct().localCheckpoint(eager=True)
+    sh = rows.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("s")).alias("shingles"),
+        F.count("*").alias("n_sh"),
+    ).localCheckpoint(eager=True)
 
-    inv = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    inv = rows.join(sh.select("doc_id", "n_sh"), "doc_id").select(
+        "doc_id", "n_sh", F.col("s").alias("shingle")
+    )
     df_counts = inv.groupBy("shingle").agg(F.count("*").alias("df"))
 
     from pyspark.sql import Window

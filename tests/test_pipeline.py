@@ -355,3 +355,58 @@ def test_sitegraph_ingestion_big_doc_bounded(spark):
     assert triples.filter(
         F.col("object").startswith(f"_:b{sha}")
     ).count() == 1500
+
+
+def test_sources_from_csv_reference_semantics(spark, tmp_path):
+    """CSV sources loader parity (sources.go:120-167): header-named
+    columns, ParseBool lexicon, sitemap default, URL trim, and the
+    host-normalized join key feeding with_source."""
+    from gleaner_spark.sources.csvconf import sources_from_csv
+
+    csv = tmp_path / "sources.csv"
+    csv.write_text(
+        "hack,SourceType,Active,Name,ProperName,URL,Headless,Domain,PID,Logo\n"
+        '1,sitegraph,FALSE,aqua,Aqua Docs,"https://oih.example.org/aqua.json ",'
+        "FALSE,https://aqua.example.org,http://hdl.example/41372,\n"
+        "3,,TRUE,topo,Topo,https://topo.example.org/sitemap.xml,false,"
+        "http://www.topo.example.org/path,https://r3d.example/r1,logo.png\n"
+        "4,sitemap,1,geo,Geo,https://geo.example.org/sitemap.xml,T,"
+        "geo.example.org,,\n"
+    )
+    dim = sources_from_csv(spark, str(csv))
+    rows = {r.name: r for r in dim.collect()}
+    assert set(rows) == {"aqua", "topo", "geo"}
+    # URL trailing space trimmed (sources.go:124)
+    assert rows["aqua"].url == "https://oih.example.org/aqua.json"
+    # empty SourceType -> sitemap default
+    assert rows["topo"].sourcetype == "sitemap"
+    assert rows["aqua"].sourcetype == "sitegraph"
+    # ParseBool lexicon: FALSE/false/1/T
+    assert rows["aqua"].active is False
+    assert rows["topo"].active is True
+    assert rows["geo"].active is True and rows["geo"].headless is True
+    # missing optional columns default to '' (resolve downstream)
+    assert rows["geo"].identifiertype == "" and rows["geo"].fixcontextoption == ""
+    # domain normalized to the bare join host
+    assert rows["aqua"].domain == "aqua.example.org"
+    assert rows["topo"].domain == "www.topo.example.org"
+    assert rows["geo"].domain == "geo.example.org"
+
+    # feeds with_source directly: inactive sources filtered (P9), match
+    # by host, defaults coalesce
+    from gleaner_spark.operators.stages import with_source
+
+    pages = spark.createDataFrame(
+        [("https://geo.example.org/doc/1",),
+         ("https://aqua.example.org/aqua.json",)],
+        "url string",
+    ).select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(bytearray(b"<html></html>")).alias("html"),
+        F.lit("t").alias("text"), F.lit("en").alias("lang"),
+    )
+    joined = {r.url: r for r in with_source(pages, dim).collect()}
+    assert joined["https://geo.example.org/doc/1"].source == "geo"
+    # inactive aqua does not match -> falls back to host-as-source
+    assert joined["https://aqua.example.org/aqua.json"].source == "aqua.example.org"
