@@ -74,8 +74,9 @@ def _minhash_sql(shingles: str, duck: bool, k: int = NUM_MINHASH) -> str:
     """Rotation MinHash (see core/text.py:md5_minhash_signature): hash i
     = md5 hex rotated left 2·i chars, one digest per shingle.  The array
     form is for oracles / small inputs; the Spark hot path uses
-    ``_minhash_frame`` (exploded rows → whole-stage-codegen md5 +
-    substring, then groupBy-min) because per-element expressions inside
+    ``functions.minhash.minhash_from_rows`` (exploded rows →
+    whole-stage-codegen md5 + substring, then groupBy-min) because
+    per-element expressions inside
     higher-order functions run interpreted — measured ~80 s vs ~3 s at
     sf0.1 for the identical result."""
     if not 1 <= k <= 16:
@@ -93,14 +94,6 @@ def _minhash_sql(shingles: str, duck: bool, k: int = NUM_MINHASH) -> str:
         f" s -> concat(substring(md5(s), i * 2 + 1, 32 - i * 2),"
         f" substring(md5(s), 1, i * 2)))))"
     )
-
-
-def _minhash_frame(df, id_cols: list[str], k: int = NUM_MINHASH):
-    """Codegen-path MinHash (see functions/minhash.py) — bit-identical to
-    ``_minhash_sql`` / core.text.md5_minhash_signature."""
-    from ..functions.minhash import minhash_frame
-
-    return minhash_frame(df, id_cols, k=k)
 
 
 def _shingle_rows(df, text_col: str = "text"):
@@ -548,7 +541,7 @@ O_FINGERPRINT = (
 # ---------------------------------------------------------------------------
 
 def q_minhash_signature(spark, sf_dir):
-    """Exploded codegen path (_minhash_frame): md5 + rotations as plain
+    """Exploded codegen path (minhash_from_rows): md5 + rotations as plain
     column expressions over shingle rows, then groupBy-min — the
     array/HOF formulation runs interpreted per element and was measured
     ~25× slower at sf0.1."""
@@ -651,19 +644,21 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         F.count("*").alias("n_sh"),
     ).localCheckpoint(eager=True)
 
-    inv = rows.join(sh.select("doc_id", "n_sh"), "doc_id").select(
-        "doc_id", "n_sh", F.col("s").alias("shingle")
-    )
-    df_counts = inv.groupBy("shingle").agg(F.count("*").alias("df"))
-
     from pyspark.sql import Window
 
-    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    # document frequency and per-doc size as window counts over the rows
+    # frame itself — two exchanges total (by shingle, then by doc_id; the
+    # rn and n_sh windows share the doc_id partitioning) instead of the
+    # build-aggregate-then-join formulation's three
+    w_df = Window.partitionBy("s")
+    w_rn = Window.partitionBy("doc_id").orderBy("df", "s")
+    w_n = Window.partitionBy("doc_id")
     prefix = (
-        inv.join(df_counts, "shingle")
-        .withColumn("rn", F.row_number().over(w))
+        rows.withColumn("df", F.count("*").over(w_df))
+        .withColumn("rn", F.row_number().over(w_rn))
+        .withColumn("n_sh", F.count("*").over(w_n))
         .filter(F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1)
-        .select("doc_id", "shingle")
+        .select("doc_id", F.col("s").alias("shingle"))
     )
     cand = (
         prefix.alias("l")
