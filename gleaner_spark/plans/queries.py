@@ -472,6 +472,98 @@ where cast(doc_id as varchar) not like '1%'
 """
 
 
+def _sitemap_bodies(spark, sf_dir):
+    """Synthetic two-level sitemap corpus built from the documents table:
+    per source one <sitemapindex> pointing at two <urlset> sub-sitemaps
+    (doc_id parity split), page urls with whitespace padding around the
+    <loc> values to exercise the reference's TrimSpace."""
+    d = _load(spark, sf_dir, "documents").select("doc_id", "source")
+    page_loc = F.concat(
+        F.lit("<url><loc> https://"), F.col("source"),
+        F.lit(".example.org/doc/"), F.col("doc_id"), F.lit(" </loc></url>"),
+    )
+    subs = (
+        d.withColumn("b", F.pmod("doc_id", F.lit(2)))
+        .groupBy("source", "b")
+        .agg(F.concat_ws("", F.sort_array(F.collect_list(page_loc))).alias("locs"))
+        .select(
+            "source",
+            F.concat(F.lit("https://"), "source",
+                     F.lit(".example.org/sitemap_"), "b",
+                     F.lit(".xml")).alias("url"),
+            F.concat(
+                F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+                "locs", F.lit("</urlset>"),
+            ).alias("body"),
+        )
+    )
+    index = subs.groupBy("source").agg(
+        F.concat(
+            F.lit('<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+            F.concat_ws("", F.sort_array(F.collect_list(
+                F.concat(F.lit("<sitemap><loc>"), "url", F.lit("</loc></sitemap>"))
+            ))),
+            F.lit("</sitemapindex>"),
+        ).alias("body"),
+    ).select(
+        "source",
+        F.concat(F.lit("https://"), "source",
+                 F.lit(".example.org/sitemap.xml")).alias("url"),
+        "body",
+    )
+    return subs.unionByName(index)
+
+
+def q_sitemap_scan(spark, sf_dir):
+    """S1: sitemap-index recursion + <loc> enumeration with whitespace
+    trim (resources.go:128-173, sitemap_ng.go:42-73) over a constructed
+    two-level sitemap corpus; starting from the INDEX bodies alone, every
+    page URL must be reached through the recursion join."""
+    from ..sources.sitemap import sitemap_page_urls
+
+    bodies = _sitemap_bodies(spark, sf_dir)
+    # start from the index sitemaps only — every page URL must be
+    # reached through the index→urlset recursion join
+    start = bodies.filter(F.col("url").endswith("/sitemap.xml"))
+    return sitemap_page_urls(bodies, start=start).select("source", "page_url")
+
+
+O_SITEMAP_SCAN = """
+select distinct source,
+       concat('https://', source, '.example.org/doc/', cast(doc_id as varchar)) as page_url
+from documents
+"""
+
+
+def q_robots_sitemaps(spark, sf_dir):
+    """S3: sitemap discovery from robots.txt ``Sitemap:`` lines
+    (resources.go:89-118), case-insensitive directive, one row per
+    declared sitemap."""
+    from ..sources.sitemap import robots_sitemap_urls
+
+    d = _load(spark, sf_dir, "documents").select("source").distinct()
+    robots = d.select(
+        "source",
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private/\nSitemap: https://"),
+            F.col("source"),
+            F.lit(".example.org/sitemap.xml\nsitemap: https://"),
+            F.col("source"),
+            F.lit(".example.org/sitemap2.xml\n"),
+        ).alias("body"),
+    )
+    return robots_sitemap_urls(robots)
+
+
+O_ROBOTS_SITEMAPS = """
+select source, concat('https://', source, '.example.org/sitemap.xml') as sitemap_url
+from (select distinct source from documents)
+union all
+select source, concat('https://', source, '.example.org/sitemap2.xml')
+from (select distinct source from documents)
+"""
+
+
 def q_text_normalize(spark, sf_dir):
     d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return d.select("doc_id", F.expr(_norm_sql("text", False)).alias("text_norm"))
@@ -1819,6 +1911,8 @@ QUERIES: dict[str, tuple] = {
     "hash_ids": (q_hash_ids, O_HASH_IDS),
     "json_path_extract": (q_json_path_extract, O_JSON_PATH),
     "robots_filter": (q_robots_filter, O_ROBOTS_FILTER),
+    "sitemap_scan": (q_sitemap_scan, O_SITEMAP_SCAN),
+    "robots_sitemaps": (q_robots_sitemaps, O_ROBOTS_SITEMAPS),
     # text analysis
     "text_normalize": (q_text_normalize, O_TEXT_NORMALIZE),
     "token_count": (q_token_count, O_TOKEN_COUNT),
