@@ -110,12 +110,49 @@ def register_remote_context(url: str, context: Any) -> None:
     """Preload a remote context document for offline resolution.
 
     ``context`` is the VALUE of the remote document's ``@context`` key
-    (dict, list, or string chain).  Call before building the Spark
-    session so executors inherit the registry via module import."""
+    (dict, list, or string chain).
+
+    IMPORTANT — executor visibility: a call made in driver code does NOT
+    reach executor Python workers (they re-import this module fresh).
+    Deployments must register through one of the import-time channels:
+
+    * ``GLEANER_CONTEXTS_DIR`` — a directory of ``*.json``/``*.jsonld``
+      asset files, each ``{"url": ..., "context": ...}``; ship it with
+      ``spark-submit --files``/``--archives`` and point the env var at
+      it (``spark.executorEnv.GLEANER_CONTEXTS_DIR``).  This is the
+      reference's vendored-asset model (ldproc.go:31-58) made
+      deployment-extensible.
+    * a module vendored on the PYTHONPATH that calls this function and
+      is imported by your UDF chain.
+
+    Direct calls remain correct for driver-side/core (non-UDF) use and
+    for tests."""
     REMOTE_CONTEXTS[_normalize_context_url(url)] = context
 
 
+def _load_context_assets_from_env() -> None:
+    """Import-time deployment hook: load every context asset file under
+    ``$GLEANER_CONTEXTS_DIR`` (executors inherit the env from the
+    executor launch, so workers self-register on module import)."""
+    import os
+
+    d = os.environ.get("GLEANER_CONTEXTS_DIR")
+    if not d or not os.path.isdir(d):
+        return
+    for name in sorted(os.listdir(d)):
+        if not name.endswith((".json", ".jsonld")):
+            continue
+        try:
+            with open(os.path.join(d, name)) as f:
+                doc = json.load(f)
+            if isinstance(doc, dict) and "url" in doc and "context" in doc:
+                register_remote_context(doc["url"], doc["context"])
+        except (OSError, ValueError):
+            continue  # a malformed asset must not break workers
+
+
 register_remote_context("https://schema.org", SCHEMA_ORG_REMOTE_CONTEXT)
+_load_context_assets_from_env()
 
 # Example deployment context asset (same mechanism the reference uses to
 # ship schema.org assets): a Dublin-Core-terms subset under a

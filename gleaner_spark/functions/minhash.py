@@ -76,6 +76,27 @@ def minhash_from_rows(rows: DataFrame, id_cols: list[str],
     )
 
 
+def cap_buckets(bands: DataFrame, keys: list[str], max_bucket: int,
+                observation=None) -> DataFrame:
+    """LSH bucket-size cap (quadratic-blowup guard): drop every bucket
+    with more than ``max_bucket`` members before a band self-join — one
+    hot bucket (stop-phrase band key) otherwise goes O(B²).  Members of
+    a dropped bucket still pair through their other bands, so recall
+    degrades gracefully.  Pass an ``Observation`` to account for the
+    drops on the join's own execution (no extra job) — no silent caps."""
+    counts = bands.groupBy(*keys).agg(F.count("*").alias("n"))
+    if observation is not None:
+        counts = counts.observe(
+            observation,
+            F.sum((F.col("n") > max_bucket).cast("long")).alias("dropped_buckets"),
+            F.count(F.lit(1)).alias("total_buckets"),
+        )
+    return bands.join(
+        counts.filter(F.col("n") <= max_bucket).select(*keys), keys,
+        "left_semi",
+    )
+
+
 def band_keys(sig: DataFrame, id_cols: list[str], band_size: int,
               mh_col: str = "mh") -> DataFrame:
     """Explode a signature into (id_cols..., bucket) band rows —

@@ -30,7 +30,14 @@ def cosine_to_query_udf(query_vec: list[float]):
     UDF), L2-normalized once per worker batch.
     """
     q = np.asarray(query_vec, dtype=np.float64)
-    qn = q / np.linalg.norm(q)
+    norm = np.linalg.norm(q)
+    if norm == 0.0:
+        # cosine to the zero vector is undefined — fail fast instead of
+        # returning all-NaN scores that sort ABOVE every real score
+        # under desc (the JVM formulation yields NULLs that sort last;
+        # silently diverging here would corrupt top-k)
+        raise ValueError("query vector has zero norm")
+    qn = q / norm
 
     @F.pandas_udf(T.DoubleType())
     def _cos(col: pd.Series) -> pd.Series:

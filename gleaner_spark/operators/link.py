@@ -159,18 +159,11 @@ def lsh_candidate_pairs(
     ).withColumn("bucket", F.concat_ws("#", "band_idx", "band_key"))
 
     # cap pathological buckets (stopword-ish names) — observed, not
-    # silent: the Observation piggybacks on the join's own execution
-    # (zero extra jobs) and sameas_map logs the dropped-bucket count
+    # silent: sameas_map logs the dropped-bucket count after the action
+    from ..functions.minhash import cap_buckets
+
     obs = Observation("lsh_bucket_cap")
-    counts = bands.groupBy("bucket").agg(F.count("*").alias("n")).observe(
-        obs,
-        F.sum((F.col("n") > max_bucket).cast("long")).alias("dropped_buckets"),
-        F.count(F.lit(1)).alias("total_buckets"),
-    )
-    bands = bands.join(
-        counts.filter(F.col("n") <= max_bucket).select("bucket"), "bucket",
-        "left_semi",
-    )
+    bands = cap_buckets(bands, ["bucket"], max_bucket, observation=obs)
 
     left = bands.select(F.col("bucket"),
                         F.col("entity").alias("a"),
@@ -224,6 +217,14 @@ def connected_components(
     Returns (entity, component), component = min entity id —
     deterministic regardless of partitioning and parallelism.
     """
+    if vertices is None:
+        # derive BEFORE dropping self-loops: a vertex appearing only in
+        # self-loop edges must still come back labeled with itself
+        vertices = (
+            edges.select(F.col("a").alias("entity"))
+            .union(edges.select(F.col("b").alias("entity")))
+            .distinct()
+        )
     # canonical undirected edge set, self-loops dropped
     e = (
         edges.select(
@@ -234,12 +235,6 @@ def connected_components(
         .distinct()
     )
     e = _ckpt(e)
-    if vertices is None:
-        vertices = (
-            e.select(F.col("u").alias("entity"))
-            .union(e.select(F.col("v").alias("entity")))
-            .distinct()
-        )
     n_e = e.count()
 
     converged = n_e == 0
@@ -261,7 +256,9 @@ def connected_components(
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        large = _ckpt(large)
+        # (no checkpoint here: `large` is consumed exactly once by the
+        # small-star pass below — per-round lineage stays 2 stages deep
+        # and reliable-checkpoint I/O per round halves)
         # --- small-star: orient max→min, connect every smaller neighbor
         # (and the center) to the neighborhood minimum
         oriented = large.select(

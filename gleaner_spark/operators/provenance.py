@@ -40,9 +40,24 @@ def org_jsonld(sources_dim: DataFrame) -> DataFrame:
             ).alias("identifier"),
         )
     )
-    return sources_dim.select(
-        F.col("name").alias("source"), doc.alias("jsonld")
+    # one org doc per source NAME, deterministic survivor — a duplicated
+    # sources_dim row would otherwise emit duplicate quads into the
+    # per-source org graph, which materialize_triples' rewritten-only
+    # dedup path intentionally does not clean up
+    uniq = (
+        sources_dim.withColumn(
+            "_rank", F.struct(F.col("pid"), F.col("url"), F.col("propername"))
+        )
+        .groupBy("name")
+        .agg(F.min("_rank").alias("_keep"))
+        .select(
+            "name",
+            F.col("_keep.pid").alias("pid"),
+            F.col("_keep.url").alias("url"),
+            F.col("_keep.propername").alias("propername"),
+        )
     )
+    return uniq.select(F.col("name").alias("source"), doc.alias("jsonld"))
 
 
 def org_triples(sources_dim: DataFrame, bucket: str = "gleaner") -> DataFrame:

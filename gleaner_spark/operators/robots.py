@@ -28,11 +28,21 @@ def robots_filter(pages: DataFrame, robots_dim: DataFrame) -> DataFrame:
     p = pages
     if "host" not in p.columns:
         p = p.withColumn("host", url_host(F.col("url")))
-    path = F.regexp_replace("url", r"^[a-z]+://[^/]+", "")
-    p = p.withColumn("_path", path)
+    # scheme match is case-insensitive (RFC 3986); a URL with no path
+    # component means path '/' for robots purposes
+    path = F.regexp_replace(
+        "url", r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+", ""
+    )
+    p = p.withColumn(
+        "_path", F.when(path == "", F.lit("/")).otherwise(path)
+    )
     rules = robots_dim.select(
         F.col("host").alias("_rhost"),
         F.col("disallow_prefix").alias("_prefix"),
+    ).filter(
+        # an empty 'Disallow:' value means ALLOW everything — it must
+        # not become a match-all prefix (startswith('') is always true)
+        F.length("_prefix") > 0
     )
     cond = (F.col("host") == F.col("_rhost")) & F.col("_path").startswith(
         F.col("_prefix")

@@ -25,8 +25,11 @@ DEFAULT_BUCKET = "gleaner"
 
 
 def url_host(col):
-    """url → host, the page↔source key (P8-flavoured cleanup included)."""
-    return F.lower(F.regexp_extract(F.trim(col), r"^[a-z]+://([^/]+)", 1))
+    """url → host, the page↔source key (P8-flavoured cleanup included).
+    Scheme match is case-insensitive (RFC 3986 schemes are)."""
+    return F.lower(F.regexp_extract(
+        F.trim(col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)", 1
+    ))
 
 
 def with_source(pages: DataFrame, sources_dim: DataFrame | None) -> DataFrame:

@@ -651,13 +651,9 @@ O_MINHASH_SIG = (
 )
 
 
-# LSH bucket cap (quadratic-blowup guard): a bucket shared by B docs
-# yields B² candidate rows — one stop-phrase band key shared by millions
-# of docs makes the self-join quadratic at corpus scale.  Buckets over
-# the cap are dropped (the docs inside them still pair through their
-# OTHER bands, so recall degrades gracefully instead of the job dying).
-# Mirrors operators/link.py MAX_BUCKET.
-LSH_MAX_BUCKET = 64
+# LSH bucket cap (quadratic-blowup guard) — the single shared constant
+# and join shape live in operators.link / functions.minhash.cap_buckets
+from ..operators.link import MAX_BUCKET as LSH_MAX_BUCKET  # noqa: E402
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -679,11 +675,9 @@ def q_dedup_minhash_lsh(spark, sf_dir):
             )
         ).alias("band_idx", "band_key"),
     ).withColumn("bucket", F.concat_ws("#", "band_idx", "band_key"))
-    counts = bands.groupBy("bucket").agg(F.count("*").alias("n"))
-    bands = bands.join(
-        counts.filter(F.col("n") <= LSH_MAX_BUCKET).select("bucket"),
-        "bucket", "left_semi",
-    )
+    from ..functions.minhash import cap_buckets
+
+    bands = cap_buckets(bands, ["bucket"], LSH_MAX_BUCKET)
     l = bands.select("bucket", F.col("doc_id").alias("a"))
     r = bands.select("bucket", F.col("doc_id").alias("b"))
     return (
@@ -891,12 +885,9 @@ def q_dedup_simhash_pairs(spark, sf_dir):
                    " b -> substring(simhash64, b * 4 + 1, 4))")
         ).alias("band_idx", "band"),
     )
-    counts = bands.groupBy("band_idx", "band").agg(F.count("*").alias("n"))
-    bands = bands.join(
-        counts.filter(F.col("n") <= SIMHASH_MAX_BUCKET)
-        .select("band_idx", "band"),
-        ["band_idx", "band"], "left_semi",
-    )
+    from ..functions.minhash import cap_buckets
+
+    bands = cap_buckets(bands, ["band_idx", "band"], SIMHASH_MAX_BUCKET)
     cand = (
         bands.select("band_idx", "band", F.col("doc_id").alias("a"))
         .join(bands.select("band_idx", "band", F.col("doc_id").alias("b")),

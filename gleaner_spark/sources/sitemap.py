@@ -21,7 +21,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 _LOC_RE = r"<loc>\s*([^<]*?)\s*</loc>"
-_SITEMAP_LINE_RE = r"(?m)^[Ss]itemap:\s*(\S+)"
+# robots.txt directives are case-insensitive (SITEMAP:/SiteMap: occur
+# in the wild; robots parsers incl. the reference's library match them)
+_SITEMAP_LINE_RE = r"(?im)^sitemap:\s*(\S+)"
 
 
 def extract_locs(bodies: DataFrame, body_col: str = "body") -> DataFrame:

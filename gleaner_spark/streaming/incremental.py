@@ -59,14 +59,21 @@ def _process_batch(batch_df: DataFrame, batch_id: int, out_dir: str,
 
     docs_path = os.path.join(out_dir, "docs")
     try:
-        prior = (
-            spark.read.parquet(docs_path)
-            .filter(F.col("batch_id") != batch_id)
-            .select("doc_sha1")
-        )
-        docs = docs.join(prior, "doc_sha1", "left_anti")
-    except Exception:
-        pass  # first batch: no docs table yet
+        prior = spark.read.parquet(docs_path)
+    except Exception as e:
+        # only a genuinely-missing table may be swallowed (first batch);
+        # any other read failure silently disabling the dedup would
+        # re-ingest history as duplicates
+        msg = str(e)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
+        prior = None
+    if prior is not None:
+        if "batch_id" in prior.columns:
+            prior = prior.filter(F.col("batch_id") != batch_id)
+        # (a docs table from the pre-batch-partitioned layout holds only
+        # completed batches — use it unfiltered)
+        docs = docs.join(prior.select("doc_sha1"), "doc_sha1", "left_anti")
 
     docs = docs.localCheckpoint(eager=True)
     triples = materialize_triples(mill_stage(docs, bucket))

@@ -96,3 +96,89 @@ def test_materialize_dedups_only_rewritten_graphs(spark):
         ("<c>", "<p>", "<o>", "g2"),
     }
     assert out.count() == 3
+
+
+def test_robots_empty_disallow_allows_everything(spark):
+    """robots.txt 'Disallow:' with an empty value means ALLOW ALL — it
+    must not become a match-all prefix (review finding r2)."""
+    from gleaner_spark.operators.robots import robots_filter
+
+    pages = spark.createDataFrame(
+        [("https://a.org/doc/1",), ("HTTPS://a.org/doc/2",), ("https://a.org",)],
+        "url string",
+    )
+    rules = spark.createDataFrame(
+        [("a.org", ""), ("a.org", "/doc/2")],
+        "host string, disallow_prefix string",
+    )
+    kept = {r.url for r in robots_filter(pages, rules).collect()}
+    # empty rule drops nothing; /doc/2 drops the page even with an
+    # uppercase scheme; the path-less URL maps to '/' and survives
+    assert kept == {"https://a.org/doc/1", "https://a.org"}
+    # a 'Disallow: /' rule blocks the path-less URL too
+    rules2 = spark.createDataFrame([("a.org", "/")],
+                                   "host string, disallow_prefix string")
+    assert robots_filter(pages, rules2).count() == 0
+
+
+def test_cc_self_loop_vertex_survives(spark):
+    from gleaner_spark.operators.link import connected_components
+
+    edges = spark.createDataFrame([("a", "a"), ("b", "c")],
+                                  "a string, b string")
+    comp = {r.entity: r.component
+            for r in connected_components(edges).collect()}
+    assert comp == {"a": "a", "b": "b", "c": "b"}
+
+
+def test_robots_sitemap_directive_case_insensitive(spark):
+    from gleaner_spark.sources.sitemap import robots_sitemap_urls
+
+    robots = spark.createDataFrame(
+        [("s", "SITEMAP: https://s.org/a.xml\nSiteMap: https://s.org/b.xml\n")],
+        "source string, body string",
+    )
+    got = {r.sitemap_url for r in robots_sitemap_urls(robots).collect()}
+    assert got == {"https://s.org/a.xml", "https://s.org/b.xml"}
+
+
+def test_org_triples_dedup_duplicate_sources(spark):
+    from gleaner_spark.operators.provenance import org_triples
+
+    dim = spark.createDataFrame(
+        [("s1", "https://pid/1", "S One", "https://s1.org", "s1.org", True),
+         ("s1", "https://pid/1", "S One", "https://s1.org", "s1.org", True)],
+        "name string, pid string, propername string, url string, "
+        "domain string, active boolean",
+    )
+    t = org_triples(dim)
+    assert t.count() == t.distinct().count()
+
+
+def test_context_assets_dir_loading(tmp_path, monkeypatch):
+    import json as _json
+
+    from gleaner_spark.core import jsonld as J
+
+    asset = {"url": "https://ctx.example.org/x.jsonld",
+             "context": {"p": "http://purl.org/x/p"}}
+    (tmp_path / "x.json").write_text(_json.dumps(asset))
+    (tmp_path / "broken.json").write_text("{not json")
+    monkeypatch.setenv("GLEANER_CONTEXTS_DIR", str(tmp_path))
+    try:
+        J._load_context_assets_from_env()
+        doc = {"@context": "https://ctx.example.org/x.jsonld",
+               "@id": "https://e.org/1", "p": "v"}
+        nq = J.serialize_nquads(J.to_rdf(doc))
+        assert "<http://purl.org/x/p>" in nq
+    finally:
+        J.REMOTE_CONTEXTS.pop("https://ctx.example.org/x.jsonld", None)
+
+
+def test_vectorized_cosine_rejects_zero_query(spark):
+    import pytest as _pytest
+
+    from gleaner_spark.functions.vecmath import cosine_to_query_udf
+
+    with _pytest.raises(ValueError, match="zero norm"):
+        cosine_to_query_udf([0.0, 0.0, 0.0])
