@@ -564,6 +564,49 @@ from (select distinct source from documents)
 """
 
 
+def q_api_paged_scan(spark, sf_dir):
+    """S7: paged-API URL enumeration (api.go:90-165) — per source, the
+    contiguous 200-status page prefix of ``template %% page``.  Each
+    source has pages 0..n_avail-1 available (n_avail derived from its
+    doc count) PLUS a stray OK page at n_avail+2 that the
+    stop-at-first-failure semantics must exclude."""
+    from ..sources.api import api_page_urls
+
+    d = _load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        (F.count("*") % 8 + 3).alias("n_avail")
+    )
+    url_of = F.concat(F.lit("https://"), F.col("source"),
+                      F.lit(".example.org/api?page="), F.col("page"))
+    avail = counts.select(
+        "source",
+        F.explode(F.sequence(F.lit(0), F.col("n_avail") - 1)).alias("page"),
+    )
+    stray = counts.select("source", (F.col("n_avail") + 2).alias("page"))
+    fetched = avail.unionByName(stray).select(
+        url_of.alias("url"), F.lit(200).alias("status")
+    )
+    sources = counts.select(
+        "source",
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.org/api?page=%d")).alias("url_template"),
+        F.lit(20).alias("apipagelimit"),
+    )
+    return api_page_urls(sources, fetched).select("source", "page", "url")
+
+
+O_API_PAGED = """
+with s as (select source, count(*) % 8 + 3 as n_avail
+           from documents group by source),
+pages as (select source, n_avail, g as page
+          from s cross join generate_series(0, 19) t(g))
+select source, page,
+       concat('https://', source, '.example.org/api?page=',
+              cast(page as varchar)) as url
+from pages where page < n_avail
+"""
+
+
 def q_text_normalize(spark, sf_dir):
     d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return d.select("doc_id", F.expr(_norm_sql("text", False)).alias("text_norm"))
@@ -1904,6 +1947,7 @@ QUERIES: dict[str, tuple] = {
     "robots_filter": (q_robots_filter, O_ROBOTS_FILTER),
     "sitemap_scan": (q_sitemap_scan, O_SITEMAP_SCAN),
     "robots_sitemaps": (q_robots_sitemaps, O_ROBOTS_SITEMAPS),
+    "api_paged_scan": (q_api_paged_scan, O_API_PAGED),
     # text analysis
     "text_normalize": (q_text_normalize, O_TEXT_NORMALIZE),
     "token_count": (q_token_count, O_TOKEN_COUNT),
