@@ -166,3 +166,42 @@ def test_minhash_on_codegen_path(spark):
     # no interpreted higher-order-function md5: the digest is a plain
     # projection over exploded rows
     assert "Project [doc_id" in plan and "md5" in plan
+
+
+def test_salted_repartition_breaks_mega_domain_skew(spark):
+    """North rule: mega-domain skew handled by salted repartitioning on
+    url-host.  A 40%-of-the-corpus host must not pin a single partition:
+    after salting, the largest partition stays near the mean instead of
+    holding the whole domain."""
+    from pyspark.sql import functions as F
+
+    from gleaner_spark.operators.stages import salted_repartition, url_host
+
+    # host-clustered input: 40% mega.example.org + 60% spread over 12
+    rows = [(f"https://mega.example.org/p/{i}",) for i in range(4000)] + [
+        (f"https://site{i % 12}.example.org/p/{i}",) for i in range(6000)
+    ]
+    pages = spark.createDataFrame(rows, "url string").withColumn(
+        "host", url_host(F.col("url"))
+    ).repartition(16, "host")  # simulate host-clustered layout
+
+    before = (
+        pages.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").count().agg(F.max("count")).first()[0]
+    )
+    assert before >= 4000  # the mega domain pins one partition
+
+    salted = salted_repartition(pages, 16, salt=8)
+    sizes = [
+        r["count"]
+        for r in salted.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").count().collect()
+    ]
+    mean = sum(sizes) / len(sizes)
+    # the guard bounds the largest shuffle KEY at mega/salt (500 here);
+    # partitions still get several keys by hashing, so assert the domain
+    # is no longer pinned (≥2× better than unsalted) and the residual
+    # imbalance stays within key-granularity bounds
+    assert max(sizes) < before / 2, (max(sizes), before)
+    assert max(sizes) <= 3.5 * mean, (max(sizes), mean)
+    assert salted.count() == 10000  # nothing lost or duplicated
