@@ -28,15 +28,7 @@ from pyspark.sql import DataFrame, Observation, functions as F
 logger = logging.getLogger(__name__)
 
 
-def _ckpt(df: DataFrame) -> DataFrame:
-    """Pluggable lineage barrier: reliable ``checkpoint`` when the session
-    has a checkpoint dir configured (clusters: HDFS/S3 path survives
-    executor loss), ``localCheckpoint`` otherwise (local mode: executor
-    blocks ARE the driver, loss means the app is gone anyway)."""
-    sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+from ..functions.barrier import reliable_ckpt as _ckpt  # shared barrier
 
 SCHEMA_NAME_PRED = "<https://schema.org/name>"
 RDF_TYPE_PRED = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
@@ -324,7 +316,7 @@ def sameas_map(triples: DataFrame, threshold: float = JACCARD_THRESHOLD) -> Data
     # named feeds groups AND members AND (via groups) rep_canon — without
     # a barrier the mention scan (2 passes over triples + a distinct +
     # a semi-join) re-runs per consumer; the frame itself is tiny
-    named = named.localCheckpoint(eager=True)
+    named = _ckpt(named)
     # (1) exact groups: representative = min entity id per name_norm
     groups = named.groupBy("name_norm").agg(F.min("entity").alias("rep"))
     members = named.join(groups, "name_norm").select(
@@ -337,7 +329,7 @@ def sameas_map(triples: DataFrame, threshold: float = JACCARD_THRESHOLD) -> Data
     )
     with _timed("link.lsh_pairs"):
         pairs = lsh_candidate_pairs(reps, threshold=threshold)
-        edges = pairs.localCheckpoint(eager=True)
+        edges = _ckpt(pairs)
         obs = getattr(pairs, "_lsh_observation", None)
         if obs is not None:
             try:
@@ -351,7 +343,7 @@ def sameas_map(triples: DataFrame, threshold: float = JACCARD_THRESHOLD) -> Data
             except Exception:  # metric unavailable must never fail the job
                 pass
     with _timed("link.cc"):
-        components = connected_components(edges).localCheckpoint(eager=True)
+        components = _ckpt(connected_components(edges))
 
     # rep → component canonical (reps not in any component keep themselves)
     rep_canon = (
@@ -406,7 +398,7 @@ def link_stage(triples: DataFrame, threshold: float = JACCARD_THRESHOLD) -> Data
     from ..plans.pipeline import _timed
 
     with _timed("link.sameas_map"):
-        sameas = sameas_map(triples, threshold).localCheckpoint(eager=True)
+        sameas = _ckpt(sameas_map(triples, threshold))
     canon = canonicalize_triples(triples, sameas)
     sameas_triples = sameas.select(
         F.col("entity").alias("subject"),

@@ -121,9 +121,14 @@ def _value_filter(c: PropertyConstraint):
         ok &= F.col("object").startswith("_:")
     if c.datatype:
         if c.datatype == XSD_STRING:
-            # plain literals serialize without the ^^ suffix
-            ok &= F.col("object").startswith('"') & ~F.col("object").rlike(
-                r"\^\^<[^>]*>$"
+            # plain literals serialize without the ^^ suffix — but a
+            # language-tagged literal ("x"@en) has datatype rdf:langString,
+            # NOT xsd:string (RDF 1.1 §3.3), so the trailing @lang form is
+            # excluded too (round-2 ADVICE)
+            ok &= (
+                F.col("object").startswith('"')
+                & ~F.col("object").rlike(r"\^\^<[^>]*>$")
+                & ~F.col("object").rlike(r'"@[A-Za-z][A-Za-z0-9-]*$')
             )
         else:
             ok &= F.col("object").endswith(f"^^<{c.datatype}>")

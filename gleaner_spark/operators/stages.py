@@ -231,20 +231,22 @@ def materialize_triples(triples: DataFrame) -> DataFrame:
     ``dedup_docs``), so duplicates can only appear where the linker
     REWROTE a subject/object.  When the linker's ``_rewritten`` flag is
     present, only graphs containing a rewritten row pay the dedup
-    shuffle — everything else passes through on a broadcast anti-join of
-    the (small) affected-graph list, instead of shuffling the fattest
-    relation in the pipeline."""
+    shuffle — everything else passes through on a semi/anti-join of the
+    affected-graph list, instead of shuffling the fattest relation in
+    the pipeline.  The join strategy is left to AQE: the affected list
+    is *usually* small, but the linker can rewrite entities in a large
+    fraction of graphs, and a forced ``F.broadcast`` here bypassed
+    ``autoBroadcastJoinThreshold`` with an unbounded frame (round-2
+    ADVICE) — AQE picks broadcast from the measured size instead."""
     cols = ["subject", "predicate", "object", "graph", "source"]
     key = ["graph", "subject", "predicate", "object"]
     if "_rewritten" not in triples.columns:
         return triples.select(*cols).dropDuplicates(key)
     affected = triples.filter(F.col("_rewritten")).select("graph").distinct()
     touched = (
-        triples.join(F.broadcast(affected), "graph", "left_semi")
+        triples.join(affected, "graph", "left_semi")
         .select(*cols)
         .dropDuplicates(key)
     )
-    untouched = triples.join(
-        F.broadcast(affected), "graph", "left_anti"
-    ).select(*cols)
+    untouched = triples.join(affected, "graph", "left_anti").select(*cols)
     return untouched.unionByName(touched)

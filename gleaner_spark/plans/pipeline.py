@@ -110,7 +110,9 @@ def _persist(df: DataFrame, base: str, name: str,
         # diff runs: the table on disk accumulates prior runs, but
         # downstream stages must see only this run's delta — checkpoint
         # the delta (second pass unavoidable here; deltas are small)
-        df = df.localCheckpoint(eager=True)
+        from ..functions.barrier import reliable_ckpt
+
+        df = reliable_ckpt(df)
         _write(df, base, name, partition_by, mode)
         return df
     _write(df, base, name, partition_by, mode)

@@ -445,10 +445,12 @@ from events where event_id < 200
 # ---------------------------------------------------------------------------
 
 def q_robots_filter(spark, sf_dir):
-    """S2: robots disallow filtering — broadcast anti-join of per-host
-    path-prefix rules against a page-URL relation (the reference tests
-    every candidate URL against the parsed robots group,
-    acquire/utils.go:10-39).  Rule here: every host disallows /doc/1*."""
+    """S2: robots REP filtering — per-host rules with Allow precedence
+    and ``*``/``$`` wildcards, longest-match-wins (the reference's
+    robots library implements full REP matching, acquire/utils.go:10-39).
+    Rules here per host: ``Disallow: /doc/1``, ``Allow: /doc/12``
+    (longer → overrides the disallow), ``Disallow: /*4$`` (wildcard +
+    end anchor: any doc id ending in 4 — unless /doc/12* re-allows)."""
     from ..operators.robots import robots_filter
 
     d = _load(spark, sf_dir, "documents")
@@ -457,10 +459,22 @@ def q_robots_filter(spark, sf_dir):
                  F.lit(".example.org/doc/"), F.col("doc_id")).alias("url"),
         "doc_id", "source",
     )
-    rules = d.select("source").distinct().select(
-        F.concat(F.col("source"), F.lit(".example.org")).alias("host"),
-        F.lit("/doc/1").alias("disallow_prefix"),
+    hosts = d.select("source").distinct().select(
+        F.concat(F.col("source"), F.lit(".example.org")).alias("host")
     )
+    rules = hosts.select(
+        "host",
+        F.explode(
+            F.array(
+                F.struct(F.lit("/doc/1").alias("path_pattern"),
+                         F.lit(False).alias("allow")),
+                F.struct(F.lit("/doc/12").alias("path_pattern"),
+                         F.lit(True).alias("allow")),
+                F.struct(F.lit("/*4$").alias("path_pattern"),
+                         F.lit(False).alias("allow")),
+            )
+        ).alias("r"),
+    ).select("host", "r.path_pattern", "r.allow")
     return robots_filter(pages, rules).select("doc_id", "source", "url")
 
 
@@ -468,7 +482,9 @@ O_ROBOTS_FILTER = """
 select doc_id, source,
        concat('https://', source, '.example.org/doc/', cast(doc_id as varchar)) as url
 from documents
-where cast(doc_id as varchar) not like '1%'
+where cast(doc_id as varchar) like '12%'
+   or (cast(doc_id as varchar) not like '1%'
+       and cast(doc_id as varchar) not like '%4')
 """
 
 
@@ -767,11 +783,15 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     # per-doc sorted set for verification; the rows frame feeds the
     # inverted index, the counts, AND the verification sets — barrier so
     # the shingle expression computes once
-    rows = _shingle_rows(d).distinct().localCheckpoint(eager=True)
-    sh = rows.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list("s")).alias("shingles"),
-        F.count("*").alias("n_sh"),
-    ).localCheckpoint(eager=True)
+    from ..functions.barrier import reliable_ckpt
+
+    rows = reliable_ckpt(_shingle_rows(d).distinct())
+    sh = reliable_ckpt(
+        rows.groupBy("doc_id").agg(
+            F.array_sort(F.collect_list("s")).alias("shingles"),
+            F.count("*").alias("n_sh"),
+        )
+    )
 
     from pyspark.sql import Window
 
@@ -917,9 +937,11 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     exact = base.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
     d = base.unionByName(near).unionByName(exact)
 
+    from ..functions.barrier import reliable_ckpt
+
     sig = _simhash64_frame(d)
     # feeds bands AND both verification sides — compute once
-    sig = sig.localCheckpoint(eager=True)
+    sig = reliable_ckpt(sig)
 
     bands = sig.select(
         "doc_id",
@@ -995,7 +1017,7 @@ scored as (
     (select sum(bit_count(xor(
         strpos('0123456789abcdef', substring(sa.sh, k, 1)) - 1,
         strpos('0123456789abcdef', substring(sb.sh, k, 1)) - 1)))
-     from generate_series(1, 16) as t(k)) as hamming
+     from generate_series(1, 16) as t(k))::BIGINT as hamming
   from cand c
   join sig sa on sa.doc_id = c.a
   join sig sb on sb.doc_id = c.b
@@ -1086,16 +1108,29 @@ def q_ann_topk_vectorized(spark, sf_dir):
     return _ranked_topk(scored, ["vec_id", "cos_sim", "rnk"], k=10)
 
 
+#: Sign-LSH bucket-size cap.  8 sign bits give only 256 buckets, so at
+#: 10^12 vectors every bucket is ~4×10⁹ rows and the within-bucket
+#: self-join goes quadratic; capping (identically in the oracles) keeps
+#: the worst bucket bounded, and dropped buckets are observed — not
+#: silent — exactly like the MinHash/SimHash paths (round-2 VERDICT #2).
+SIGN_LSH_MAX_BUCKET = 512
+
+
 def q_ann_lsh_bucketed(spark, sf_dir):
     """Scale-path ANN: sign-bucket LSH (first 8 dims' signs) → top-5
     within-bucket pairs per bucket by cosine.  At 10^12 scale the bucket
-    key becomes the shuffle/partition key; brute force stays per-bucket."""
+    key becomes the shuffle/partition key; brute force stays per-bucket,
+    and buckets over SIGN_LSH_MAX_BUCKET members are dropped (observed
+    via cap_buckets) before the self-join."""
+    from ..functions.minhash import cap_buckets
+
     e = _load(spark, sf_dir, "embeddings")
     bucket = F.expr(
         "concat_ws('', transform(slice(embedding, 1, 8),"
         " x -> case when x >= 0 then '1' else '0' end))"
     )
     eb = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    eb = cap_buckets(eb, ["bucket"], SIGN_LSH_MAX_BUCKET)
     l = eb.select("bucket", F.col("vec_id").alias("a"),
                   F.col("embedding").alias("ea"))
     r = eb.select("bucket", F.col("vec_id").alias("b"),
@@ -1118,12 +1153,16 @@ def q_ann_lsh_bucketed(spark, sf_dir):
     )
 
 
-O_ANN_LSH = """
-with eb as (
+O_ANN_LSH = f"""
+with eb0 as (
   select vec_id, embedding::DOUBLE[] as ev,
          array_to_string(list_transform(embedding[1:8],
            x -> case when x >= 0 then '1' else '0' end), '') as bucket
   from embeddings
+),
+eb as (
+  select vec_id, ev, bucket from eb0
+  qualify count(*) over (partition by bucket) <= {SIGN_LSH_MAX_BUCKET}
 ),
 pairs as (
   select l.bucket, l.vec_id as a, r.vec_id as b,
@@ -1163,7 +1202,10 @@ def q_dedup_embedding_cosine(spark, sf_dir):
         "concat_ws('', transform(slice(embedding, 1, 8),"
         " x -> case when x >= 0 then '1' else '0' end))"
     )
+    from ..functions.minhash import cap_buckets
+
     eb = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    eb = cap_buckets(eb, ["bucket"], SIGN_LSH_MAX_BUCKET)
     l = eb.select("bucket", F.col("vec_id").alias("a"),
                   F.col("embedding").alias("ea"))
     r = eb.select("bucket", F.col("vec_id").alias("b"),
@@ -1177,7 +1219,7 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     )
 
 
-O_DEDUP_EMB_COS = """
+O_DEDUP_EMB_COS = f"""
 with dup as (
   select vec_id, embedding from embeddings
   union all
@@ -1186,11 +1228,15 @@ with dup as (
            as embedding
   from embeddings
 ),
-eb as (
+eb0 as (
   select vec_id, embedding::DOUBLE[] as ev,
          array_to_string(list_transform(embedding[1:8],
            x -> case when x >= 0 then '1' else '0' end), '') as bucket
   from dup
+),
+eb as (
+  select vec_id, ev, bucket from eb0
+  qualify count(*) over (partition by bucket) <= {SIGN_LSH_MAX_BUCKET}
 )
 select l.vec_id as a, r.vec_id as b,
        round(list_dot_product(l.ev, r.ev)

@@ -75,7 +75,9 @@ def _process_batch(batch_df: DataFrame, batch_id: int, out_dir: str,
         # completed batches — use it unfiltered)
         docs = docs.join(prior.select("doc_sha1"), "doc_sha1", "left_anti")
 
-    docs = docs.localCheckpoint(eager=True)
+    from ..functions.barrier import reliable_ckpt
+
+    docs = reliable_ckpt(docs)
     triples = materialize_triples(mill_stage(docs, bucket))
     triples.write.mode("overwrite").partitionBy("source").parquet(
         os.path.join(out_dir, "triples", f"batch_id={batch_id}")

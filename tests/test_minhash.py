@@ -182,3 +182,66 @@ def test_vectorized_cosine_rejects_zero_query(spark):
 
     with _pytest.raises(ValueError, match="zero norm"):
         cosine_to_query_udf([0.0, 0.0, 0.0])
+
+def test_robots_rep_wildcards_and_allow_precedence(spark):
+    """Full REP matching (the reference's robots library semantics):
+    '*' wildcards, '$' end anchors, longest-match precedence with Allow
+    winning length ties (Google REP §2.2.2)."""
+    from gleaner_spark.operators.robots import robots_filter
+
+    pages = spark.createDataFrame(
+        [(f"https://a.org{p}",) for p in (
+            "/doc/100",   # Disallow /doc/1 → denied
+            "/doc/123",   # Allow /doc/12 (len 7 > 6) → kept
+            "/doc/124",   # Allow /doc/12 beats /*4$ (len 7 > 4) → kept
+            "/doc/204",   # Disallow /*4$ → denied
+            "/doc/300",   # no matching rule → kept
+            "/x.pdf",     # Disallow /*.pdf$ → denied
+            "/x.pdf/ok",  # $-anchor: NOT denied (path continues) → kept
+        )],
+        "url string",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("a.org", "/doc/1", False),
+            ("a.org", "/doc/12", True),
+            ("a.org", "/*4$", False),
+            ("a.org", "/*.pdf$", False),
+        ],
+        "host string, path_pattern string, allow boolean",
+    )
+    kept = {r.url.rsplit("org", 1)[1] for r in robots_filter(pages, rules).collect()}
+    assert kept == {"/doc/123", "/doc/124", "/doc/300", "/x.pdf/ok"}
+
+
+def test_robots_allow_wins_equal_length_tie(spark):
+    from gleaner_spark.operators.robots import robots_filter
+
+    pages = spark.createDataFrame([("https://a.org/p",)], "url string")
+    rules = spark.createDataFrame(
+        [("a.org", "/p", False), ("a.org", "/p", True)],
+        "host string, path_pattern string, allow boolean",
+    )
+    assert robots_filter(pages, rules).count() == 1
+
+
+def test_sign_lsh_bucket_cap_drops_hot_bucket(spark):
+    """cap_buckets applied to the sign-LSH paths: a pathological corpus
+    whose embeddings all share one sign bucket (all-positive dims) must
+    not self-join quadratically — the hot bucket is dropped."""
+    from pyspark.sql import functions as F
+
+    from gleaner_spark.functions.minhash import cap_buckets
+
+    n = 50
+    eb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.lit("11111111").alias("bucket"),
+    ).unionByName(
+        spark.range(2).select(
+            (F.col("id") + 1000).alias("vec_id"), F.lit("00000001").alias("bucket")
+        )
+    )
+    capped = cap_buckets(eb, ["bucket"], max_bucket=10)
+    assert capped.filter(F.col("bucket") == "11111111").count() == 0
+    assert capped.filter(F.col("bucket") == "00000001").count() == 2

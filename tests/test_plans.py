@@ -136,15 +136,20 @@ def test_no_unbounded_unpartitioned_window(spark):
     )
 
 
-def test_robots_filter_is_broadcast_anti_join(spark):
-    """S2: the rules side broadcasts; the page relation is never
-    shuffled for the robots test."""
+def test_robots_filter_is_broadcast_map_side(spark):
+    """S2: the per-host rule arrays broadcast; the page relation is
+    never shuffled or re-joined — REP winner selection is a map-side
+    expression over the broadcast rules (no aggregation over pages)."""
     df = QUERIES["robots_filter"][0](spark, SF)
     plan = _plan(df)
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
     # pages are never sort-merge-joined (the rules-dim build may shuffle
     # its own tiny distinct, but the page relation only meets a broadcast)
     assert "SortMergeJoin" not in plan
+    # winner selection must not aggregate or re-shuffle the page
+    # relation: no exchange keyed on the page url anywhere in the plan
+    assert "collect_list" in plan
+    assert "hashpartitioning(url" not in plan
 
 
 def test_ann_topk_plans_as_take_ordered(spark):

@@ -131,3 +131,39 @@ def test_simhash64_core_vs_spark_parity(spark):
     # near-identical docs land within a small Hamming distance
     assert hamming_hex(got[0], got[1]) <= 16
     assert hamming_hex(got[0], got[0]) == 0
+
+
+def test_datatype_xsd_string_excludes_language_tagged(spark):
+    """A language-tagged literal ("x"@en) has datatype rdf:langString,
+    not xsd:string — it must NOT satisfy sh:datatype xsd:string
+    (round-2 ADVICE)."""
+    from gleaner_spark.operators.shacl import (
+        NodeShape, PropertyConstraint, XSD_STRING, shape_conformance,
+    )
+
+    rows = [
+        # s1: plain literal → conforms
+        ("<s1>", "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+         "<http://ex.org/T>", "g"),
+        ("<s1>", "<http://ex.org/name>", '"plain"', "g"),
+        # s2: language-tagged → does NOT count toward xsd:string
+        ("<s2>", "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+         "<http://ex.org/T>", "g"),
+        ("<s2>", "<http://ex.org/name>", '"tagged"@en', "g"),
+        # s3: a literal whose BODY ends with an @word but closes with a
+        # quote is still a plain xsd:string
+        ("<s3>", "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+         "<http://ex.org/T>", "g"),
+        ("<s3>", "<http://ex.org/name>", '"mail me @en"', "g"),
+    ]
+    triples = spark.createDataFrame(
+        rows, "subject string, predicate string, object string, graph string"
+    )
+    shape = NodeShape(
+        shape_id="S", target_class="http://ex.org/T",
+        properties=[PropertyConstraint(
+            path="http://ex.org/name", min_count=1, datatype=XSD_STRING)],
+    )
+    got = {r.subject: r.conforms
+           for r in shape_conformance(triples, [shape]).collect()}
+    assert got == {"<s1>": True, "<s2>": False, "<s3>": True}
