@@ -16,6 +16,7 @@ raw-text scanner instead of a DOM parser — no lxml/bs4 dependency.
 
 from __future__ import annotations
 
+import json
 import re
 from urllib.parse import urlparse
 
@@ -55,23 +56,18 @@ def _parse_attrs(tag_body: str) -> dict[str, str]:
     return attrs
 
 
-def find_script_blocks(html: str, script_type: str = JSONLD_TYPE) -> list[str]:
-    """Return the verbatim inner text of every ``<script type=...>`` block.
-
-    Equivalent shape to goquery ``doc.Find("script[type='...']").Text()``
-    per element (reference ``acquire.go:240-249``): the attribute value
-    match is exact/case-sensitive, the content is the raw bytes between
-    the open tag and the next ``</script`` sequence, untouched.  HTML
-    comments are skipped the way a real tree parser would skip
-    commented-out markup.
-    """
+def _iter_script_blocks(html: str):
+    """Yield ``(attrs, content)`` for every non-commented ``<script>``
+    element, content sliced verbatim from the ORIGINAL html (self-closing
+    tags yield ``""``).  Shared scanner under both the typed extraction
+    (:func:`find_script_blocks`) and the JS-inline recovery
+    (:func:`find_inline_jsonld`)."""
     # Blank out comments so commented-out <script> tags aren't matched,
     # while preserving offsets for verbatim slicing.
     scan = html
     for m in _COMMENT_RE.finditer(html):
         scan = scan[: m.start()] + " " * (m.end() - m.start()) + scan[m.end():]
 
-    out: list[str] = []
     pos = 0
     while True:
         m = _SCRIPT_OPEN_RE.search(scan, pos)
@@ -86,16 +82,29 @@ def find_script_blocks(html: str, script_type: str = JSONLD_TYPE) -> list[str]:
         content_start = tag_end + 1
         if self_closing:
             pos = content_start
-            if attrs.get("type") == script_type:
-                out.append("")
+            yield attrs, ""
             continue
         close = _SCRIPT_CLOSE_RE.search(scan, content_start)
         content_end = close.start() if close else len(scan)
-        if attrs.get("type") == script_type:
-            # slice from the ORIGINAL html: byte-identical contract
-            out.append(html[content_start:content_end])
+        yield attrs, html[content_start:content_end]
         pos = close.end() if close else len(scan)
-    return out
+
+
+def find_script_blocks(html: str, script_type: str = JSONLD_TYPE) -> list[str]:
+    """Return the verbatim inner text of every ``<script type=...>`` block.
+
+    Equivalent shape to goquery ``doc.Find("script[type='...']").Text()``
+    per element (reference ``acquire.go:240-249``): the attribute value
+    match is exact/case-sensitive, the content is the raw bytes between
+    the open tag and the next ``</script`` sequence, untouched.  HTML
+    comments are skipped the way a real tree parser would skip
+    commented-out markup.
+    """
+    return [
+        content
+        for attrs, content in _iter_script_blocks(html)
+        if attrs.get("type") == script_type
+    ]
 
 
 def document_text(html: str) -> str:
@@ -138,3 +147,172 @@ def extract_jsonld_strings(
     if JSONLD_TYPE in ct or "application/json" in ct or url_path_is_json(url):
         return [document_text(html)]
     return find_script_blocks(html)
+
+
+# ---------------------------------------------------------------------------
+# JS-inline JSON-LD recovery (S5 headless-gap fallback)
+#
+# The reference reaches script-injected JSON-LD only by rendering the page
+# in headless Chrome and polling the DOM
+# (``internal/summoner/acquire/headlessNG.go:302-349`` — injected JS that
+# querySelectorAlls 'script[type="application/ld+json"]' after the page's
+# own scripts ran).  Without a browser we can still recover the common
+# static shapes: a JSON-LD object literal assigned in plain JS
+# (``var x = {"@context": ...};``), a JSON.parse('...') payload, and a
+# whole <script type="application/ld+json"> tag built inside a JS string
+# (insertAdjacentHTML / document.write).  Anything that requires actually
+# executing JS (fetch + DOM insert, computed objects) stays a measured
+# gap — see operators/stats.py headless counters.
+# ---------------------------------------------------------------------------
+
+_JS_ESC_RE = re.compile(r"\\(u[0-9a-fA-F]{4}|x[0-9a-fA-F]{2}|.)", re.DOTALL)
+
+_JS_ESC_MAP = {"n": "\n", "t": "\t", "r": "\r", "b": "\b",
+               "f": "\f", "v": "\v", "0": "\0"}
+
+
+def _js_unescape(s: str) -> str:
+    """Minimal JS string-literal unescape (\\" \\' \\/ \\\\ \\n \\uXXXX…)."""
+
+    def rep(m):
+        e = m.group(1)
+        if e[0] == "u":
+            return chr(int(e[1:], 16))
+        if e[0] == "x":
+            return chr(int(e[1:], 16))
+        return _JS_ESC_MAP.get(e, e)
+
+    return _JS_ESC_RE.sub(rep, s)
+
+
+def _brace_spans_and_strings(text: str):
+    """One pass over JS source: balanced ``{...}`` spans OUTSIDE string
+    literals and comments, plus the raw contents of every string literal
+    ('…', "…", `…`).  Regex literals are not tracked (a ``/…{…/`` regex
+    could unbalance a span — the json.loads validation downstream rejects
+    any resulting garbage, so the failure mode is a missed recovery, not
+    a wrong one)."""
+    spans: list[tuple[int, int]] = []
+    strings: list[str] = []
+    stack: list[int] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in ('"', "'", "`"):
+            q = c
+            i += 1
+            start = i
+            while i < n:
+                if text[i] == "\\":
+                    i += 2
+                    continue
+                if text[i] == q:
+                    break
+                i += 1
+            strings.append(text[start:i])
+            i += 1
+            continue
+        if c == "/" and i + 1 < n:
+            if text[i + 1] == "/":
+                j = text.find("\n", i)
+                i = n if j == -1 else j + 1
+                continue
+            if text[i + 1] == "*":
+                j = text.find("*/", i + 2)
+                i = n if j == -1 else j + 2
+                continue
+        if c == "{":
+            stack.append(i)
+        elif c == "}" and stack:
+            p = stack.pop()
+            spans.append((p, i + 1))
+        i += 1
+    # preorder: parents before children so acceptance is top-down
+    spans.sort(key=lambda s: (s[0], -s[1]))
+    return spans, strings
+
+
+def _looks_jsonld(v) -> bool:
+    return isinstance(v, dict) and (
+        "@context" in v or "@type" in v or "@graph" in v
+    )
+
+
+def _scan_js_candidates(text: str, out: list[str], seen: set[str],
+                        budget: list[int], max_span: int,
+                        depth: int = 0) -> None:
+    if depth > 2 or budget[0] <= 0:
+        return
+    marker = ('"@context"' in text or '"@type"' in text
+              or JSONLD_TYPE in text)
+    if not marker:
+        return
+    spans, strings = _brace_spans_and_strings(text)
+    accepted: list[tuple[int, int]] = []
+    for a, b in spans:
+        if any(a >= x and b <= y for x, y in accepted):
+            continue  # inside an already-recovered document
+        frag = text[a:b]
+        if len(frag) > max_span or (
+            '"@context"' not in frag and '"@type"' not in frag
+        ):
+            continue
+        if budget[0] <= 0:
+            break
+        budget[0] -= 1
+        try:
+            v = json.loads(frag)
+        except ValueError:
+            continue  # JS code block, not a JSON literal — try children
+        if _looks_jsonld(v):
+            accepted.append((a, b))
+            if frag not in seen:
+                seen.add(frag)
+                out.append(frag)
+    # string-literal payloads: a whole ld+json <script> tag built in JS,
+    # or a JSON.parse('{"@context": ...}') argument
+    for s in strings:
+        if JSONLD_TYPE in s:
+            u = _js_unescape(s)
+            for blk in find_script_blocks(u):
+                if budget[0] <= 0:
+                    return
+                budget[0] -= 1
+                try:
+                    v = json.loads(blk)
+                except ValueError:
+                    continue
+                if _looks_jsonld(v) and blk not in seen:
+                    seen.add(blk)
+                    out.append(blk)
+        elif '"@context"' in s or '"@type"' in s:
+            _scan_js_candidates(_js_unescape(s), out, seen, budget,
+                                max_span, depth + 1)
+
+
+def find_inline_jsonld(
+    html: str,
+    max_parse_attempts: int = 64,
+    max_span_bytes: int = 1 << 20,
+) -> list[str]:
+    """Conservatively recover JSON-LD embedded in PLAIN ``<script>``
+    code (no ``type="application/ld+json"``), in document order.
+
+    A candidate is accepted only if it parses as strict JSON *and* is an
+    object carrying ``@context`` / ``@type`` / ``@graph`` — so arbitrary
+    JS object literals and the reference's commented-out decoys never
+    leak through.  Budgets bound worst-case work on adversarial pages:
+    at most ``max_parse_attempts`` json.loads calls and ``max_span_bytes``
+    per candidate.  Returns verbatim JSON substrings (deduplicated,
+    document order) ready for the same normalize/mill path as statically
+    extracted blocks."""
+    out: list[str] = []
+    seen: set[str] = set()
+    budget = [max_parse_attempts]
+    for attrs, content in _iter_script_blocks(html):
+        if attrs.get("type") == JSONLD_TYPE or not content:
+            continue
+        _scan_js_candidates(content, out, seen, budget, max_span_bytes)
+        if budget[0] <= 0:
+            break
+    return out

@@ -41,6 +41,24 @@ def extract_jsonld_udf(html: pd.Series, url: pd.Series) -> pd.Series:
     return pd.Series([one(h, u) for h, u in zip(html, url)])
 
 
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def recover_inline_udf(html: pd.Series) -> pd.Series:
+    """S5 headless-gap fallback: conservative recovery of JSON-LD from
+    PLAIN <script> bodies (core/extract.py:find_inline_jsonld) — JS
+    object literals, JSON.parse payloads, and ld+json tags built inside
+    JS strings.  Applied only to zero-static-block candidate pages (the
+    extract stage gates it), so the extra Python cost is proportional to
+    the measured headless gap, not the corpus."""
+
+    def one(h):
+        if h is None:
+            return []
+        s = bytes(h).decode("utf-8", errors="replace")
+        return core_extract.find_inline_jsonld(s)
+
+    return pd.Series([one(h) for h in html])
+
+
 _QUAD_FIELDS = T.StructType(
     [
         T.StructField("subject", T.StringType()),

@@ -73,14 +73,25 @@ def salted_repartition(pages: DataFrame, partitions: int, salt: int = 8) -> Data
     )
 
 
-def extract_stage(pages_with_source: DataFrame) -> DataFrame:
+def extract_stage(pages_with_source: DataFrame,
+                  recover_js_inline: bool = True) -> DataFrame:
     """S1: html → exploded candidate JSON-LD strings.
 
     Keeps zero-block pages as block_idx = -1 / jsonld NULL rows so the
     visit is recorded (the reference's ``NILL:`` KV bookkeeping,
     acquire.go:187-191) — metrics and the checkpoint manifest need them;
     downstream stages filter them out.
+
+    ``recover_js_inline`` (default on): pages with ZERO static blocks
+    whose bytes still hint at JSON-LD get a second, conservative pass
+    that recovers JSON-LD from plain <script> code — the static subset
+    of what the reference only reaches via headless rendering
+    (headlessNG.go:302-349).  Recovered blocks carry ``via =
+    'js_inline'`` (static ones ``via = 'static'``) so stats can report
+    recovered vs remaining headless candidates separately.
     """
+    from ..functions.udfs import recover_inline_udf
+
     extracted = pages_with_source.withColumn(
         "jsonlds", extract_jsonld_udf(F.col("html"), F.col("url"))
     ).withColumn(
@@ -93,15 +104,42 @@ def extract_stage(pages_with_source: DataFrame) -> DataFrame:
         "has_ldjson_marker",
         F.col("html").cast("string").contains("application/ld+json"),
     )
+    if recover_js_inline:
+        # gate: no static blocks AND a byte-level hint (the ld+json
+        # marker OR a bare "@context" key in script code) — the UDF cost
+        # is proportional to the candidate set, not the corpus
+        gate = (F.size("jsonlds") == 0) & (
+            F.col("has_ldjson_marker")
+            | F.col("html").cast("string").contains('"@context"')
+        )
+        extracted = extracted.withColumn(
+            "js_jsonlds",
+            F.when(gate, recover_inline_udf(F.col("html"))).otherwise(
+                F.expr("array()").cast("array<string>")
+            ),
+        )
+    else:
+        extracted = extracted.withColumn(
+            "js_jsonlds", F.expr("array()").cast("array<string>")
+        )
+    # one combined explode keeps the static block_idx numbering intact
+    # (recovered blocks index after the static ones on a page)
+    combined = F.expr(
+        "concat(transform(jsonlds, x -> struct(x as jsonld, 'static' as via)),"
+        " transform(js_jsonlds, x -> struct(x as jsonld, 'js_inline' as via)))"
+    )
     cols = ["url", "warc_ts", "source", "host", "lang",
             "identifiertype", "identifierpath", "fixcontextoption",
             "has_ldjson_marker"]
     exploded = (
         extracted.select(
             *cols,
-            F.posexplode_outer("jsonlds").alias("block_idx", "jsonld"),
+            F.posexplode_outer(combined).alias("block_idx", "block"),
         )
         .withColumn("block_idx", F.coalesce("block_idx", F.lit(-1)))
+        .withColumn("jsonld", F.col("block.jsonld"))
+        .withColumn("via", F.col("block.via"))
+        .drop("block")
     )
     return exploded
 
@@ -119,8 +157,10 @@ def normalize_stage(blocks: DataFrame) -> DataFrame:
             F.col("identifierpath"),
         ),
     )
+    via = [F.col("via")] if "via" in blocks.columns else []
     return processed.select(
         "url", "warc_ts", "source", "host", "lang", "block_idx", "jsonld",
+        *via,
         F.col("proc.jsonld_fixed").alias("jsonld_fixed"),
         F.col("proc.valid").alias("valid"),
         F.col("proc.error").alias("error"),

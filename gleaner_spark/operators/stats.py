@@ -17,6 +17,7 @@ def run_stats(blocks: DataFrame, docs: DataFrame) -> DataFrame:
         F.col("has_ldjson_marker")
         if "has_ldjson_marker" in blocks.columns else F.lit(False)
     )
+    via = F.col("via") if "via" in blocks.columns else F.lit("static")
     page_counts = blocks.groupBy("source").agg(
         F.countDistinct("url").alias("count"),
         F.count(F.when(F.col("block_idx") >= 0, 1)).alias("summoned"),
@@ -25,10 +26,17 @@ def run_stats(blocks: DataFrame, docs: DataFrame) -> DataFrame:
         ).alias("empty_doc"),
         # S5 coverage gap, measured: pages whose bytes mention ld+json
         # but yielded no script block — JS-injected JSON-LD the reference
-        # only reaches via headless rendering (headlessNG.go:151-429)
+        # only reaches via headless rendering (headlessNG.go:151-429).
+        # Recovered pages (js_inline blocks) have block_idx >= 0, so they
+        # naturally leave this remaining-gap count.
         F.countDistinct(
             F.when((F.col("block_idx") == -1) & marker, F.col("url"))
         ).alias("headless_candidates"),
+        # ...and the recovered side of the split: pages whose JSON-LD
+        # came from the JS-inline fallback extractor
+        F.countDistinct(
+            F.when(via == "js_inline", F.col("url"))
+        ).alias("headless_recovered"),
     )
     doc_counts = docs.groupBy("source").agg(
         F.count(F.when(F.col("valid"), 1)).alias("stored"),
@@ -38,5 +46,5 @@ def run_stats(blocks: DataFrame, docs: DataFrame) -> DataFrame:
         page_counts.join(doc_counts, "source", "left")
         .na.fill(0, ["stored", "issues"])
         .select("source", "count", "summoned", "stored", "issues",
-                "empty_doc", "headless_candidates")
+                "empty_doc", "headless_candidates", "headless_recovered")
     )

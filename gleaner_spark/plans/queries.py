@@ -1490,6 +1490,81 @@ select s, '<https://schema.org/inLanguage>', concat('"', lang, '"') from ids
 """
 
 
+def q_kg_js_inline_recover(spark, sf_dir):
+    """S5 headless-gap fallback: pages whose JSON-LD lives in PLAIN
+    <script> JS — an object-literal assignment (doc_id%3==0), a
+    JSON.parse('...') payload (doc_id%3==1), or a normal static ld+json
+    tag as the control (doc_id%3==2) — all flow through the SAME
+    extract → normalize path; recovered docs carry via='js_inline'.
+    The reference reaches the first two shapes only by rendering in
+    headless Chrome (headlessNG.go:302-349).  Verified value-level via
+    the URDNA2015 canonical sha256 per doc (same construction as
+    kg_graph_urn's oracle)."""
+    from ..operators.stages import extract_stage, normalize_stage, with_source
+
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < KG_DOC_LIMIT)
+    doc_json = F.expr(_kg_json_sql(False))
+    html = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("<html><head><script type=\"text/javascript\">"
+                      "var page = 1; var schemaData = "),
+                doc_json,
+                F.lit("; render(schemaData);</script></head>"
+                      "<body>decoy</body></html>"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("<html><head><script>var p = JSON.parse('"),
+                doc_json,
+                F.lit("');</script></head><body>decoy</body></html>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('<html><head><script type="application/ld+json">'),
+                doc_json,
+                F.lit("</script></head><body>decoy</body></html>"),
+            )
+        )
+    )
+    pages = d.select(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.org/jsdoc/"), F.col("doc_id")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        html.cast("binary").alias("html"),
+        F.col("text"), F.col("lang"),
+    )
+    blocks = extract_stage(with_source(pages, None))
+    docs = normalize_stage(blocks).filter(F.col("valid"))
+    return docs.select(
+        F.regexp_extract("url", r"/jsdoc/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        "via",
+        F.col("norm_sha256").alias("graph_sha256"),
+    )
+
+
+O_KG_JS_RECOVER = f"""
+with d as (select doc_id, source, lang from documents where doc_id < {KG_DOC_LIMIT}),
+built as (
+  select doc_id,
+    concat('<https://example.org/doc/', cast(doc_id as varchar), '>') as s,
+    case when doc_id % 3 = 2 then 'static' else 'js_inline' end as via,
+    source, lang from d
+)
+select doc_id, via, sha256(concat(
+  s, ' <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <https://schema.org/Dataset> .', chr(10),
+  s, ' <https://schema.org/about> "', source, '" .', chr(10),
+  s, ' <https://schema.org/inLanguage> "', lang, '" .', chr(10),
+  s, ' <https://schema.org/name> "Doc ', cast(doc_id as varchar), '" .', chr(10)
+)) as graph_sha256
+from built
+"""
+
+
 def q_kg_graph_urn(spark, sf_dir):
     """URDNA2015 + SHA-256 graph id, oracled by constructing the
     canonical n-quads (known sorted line order for this doc shape) and
@@ -1937,41 +2012,109 @@ from sess group by user_id, session_idx
 
 def q_streaming_incremental_kg(spark, sf_dir):
     """The KG pipeline as a Structured Streaming job
-    (streaming/incremental.py): two synthetic WARC segments land in a
-    feed dir, the stream drains them with availableNow, content-dedups
-    across batches, and the accumulated triples relation is returned.
-    No SQL oracle (file-feed orchestration isn't SQL); batch-parity and
-    exactly-once restart are asserted in tests/test_streaming.py."""
+    (streaming/incremental.py): two WARC segments of the constructed-doc
+    corpus (the same docs kg_extract_mill drives) land in a feed dir,
+    the stream drains them with availableNow, content-dedups across
+    batches, and the accumulated triples relation is returned.  Now
+    ORACLE-GATED: expected triples + graph URNs reconstruct in SQL the
+    way O_KG_EXTRACT_MILL / O_KG_GRAPH_URN do.  Batch-parity on the
+    full synthetic corpus and exactly-once restart stay asserted in
+    tests/test_streaming.py."""
     import os
     import tempfile
 
-    from ..sources.pages import PAGES_SCHEMA, gen_pages_pandas, gen_sources_spark
     from ..streaming.incremental import stream_pipeline
 
     root = tempfile.mkdtemp(prefix="stream_kg_")
     feed = os.path.join(root, "feed")
     out = os.path.join(root, "warehouse")
     os.makedirs(feed, exist_ok=True)
-    for name, start, n in (("seg0", 0, 100), ("seg1", 100, 50)):
-        spark.createDataFrame(
-            gen_pages_pandas(n, start=start), schema=PAGES_SCHEMA
+    pages = _kg_pages(spark, sf_dir).withColumn(
+        "_id", F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("bigint")
+    )
+    for name, lo, hi in (("seg0", 0, KG_DOC_LIMIT // 2),
+                         ("seg1", KG_DOC_LIMIT // 2, KG_DOC_LIMIT)):
+        pages.filter((F.col("_id") >= lo) & (F.col("_id") < hi)).drop(
+            "_id"
         ).write.mode("overwrite").parquet(os.path.join(feed, name))
-    q = stream_pipeline(spark, feed + "/*", out, gen_sources_spark(spark))
+    q = stream_pipeline(spark, feed + "/*", out, None)
     q.awaitTermination(600)
     return spark.read.parquet(os.path.join(out, "triples")).select(
         "subject", "predicate", "object", "graph"
     )
 
 
+O_STREAM_KG = f"""
+with d as (select doc_id, source, lang from documents where doc_id < {KG_DOC_LIMIT}),
+built as (
+  select doc_id,
+    concat('<https://example.org/doc/', cast(doc_id as varchar), '>') as s,
+    concat(source, '.example.org') as host, source, lang from d
+),
+g as (
+  select *, concat('urn:gleaner:', host, ':', sha256(concat(
+    s, ' <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <https://schema.org/Dataset> .', chr(10),
+    s, ' <https://schema.org/about> "', source, '" .', chr(10),
+    s, ' <https://schema.org/inLanguage> "', lang, '" .', chr(10),
+    s, ' <https://schema.org/name> "Doc ', cast(doc_id as varchar), '" .', chr(10)
+  ))) as graph from built
+)
+select s as subject,
+       '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' as predicate,
+       '<https://schema.org/Dataset>' as object, graph from g
+union all
+select s, '<https://schema.org/name>',
+       concat('"Doc ', cast(doc_id as varchar), '"'), graph from g
+union all
+select s, '<https://schema.org/about>', concat('"', source, '"'), graph from g
+union all
+select s, '<https://schema.org/inLanguage>', concat('"', lang, '"'), graph from g
+"""
+
+
+# winnowing: base-257 polynomial rolling hash mod 2^61-1, window-4
+# minima, distinct + sorted, hex-joined — the DuckDB HUGEINT arithmetic
+# reproduces core.text.winnow_fingerprint bit-for-bit (the mod fits
+# HUGEINT headroom: max term ≈ 2^68, sum of 8 ≈ 2^71 « 2^127)
+_WINNOW_POWS = [257 ** (7 - j) for j in range(8)]
+_WINNOW_MOD = (1 << 61) - 1
+
+
 def q_winnow_fingerprint(spark, sf_dir):
-    """Winnowing fingerprint (Schleimer et al.) via a pandas UDF over the
-    pure core — no SQL oracle (64-bit modular rolling hash is not
-    portable SQL); the driver records a rows-only check and the pure
-    function is unit-tested."""
+    """Winnowing fingerprint (Schleimer et al., SIGMOD'03) via a pandas
+    UDF over the pure core (core/text.py) — oracle-gated since round 3:
+    the 61-bit modular rolling hash IS portable SQL with DuckDB HUGEINT
+    arithmetic (O_WINNOW)."""
     from ..functions.udfs import winnow_fp_udf
 
     d = _load(spark, sf_dir, "documents")
     return d.select("doc_id", winnow_fp_udf("text").alias("winnow_fp"))
+
+
+O_WINNOW = rf"""
+with d as (
+  select doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) as s
+  from documents
+),
+hs as (
+  select doc_id, i,
+         (list_sum(list_transform(generate_series(0, 7),
+           j -> unicode(substring(s, i + j, 1))::HUGEINT * {_WINNOW_POWS}[j + 1]))
+           % {_WINNOW_MOD})::BIGINT as h
+  from d, unnest(generate_series(1, len(s) - 7)) t(i)
+),
+wins as (
+  select doc_id, i,
+         min(h) over (partition by doc_id order by i
+                      rows between current row and 3 following) as m,
+         count(*) over (partition by doc_id) as nh
+  from hs
+)
+select doc_id,
+       string_agg(lower(hex(m)), '|' order by m) as winnow_fp
+from (select distinct doc_id, m from wins where i <= greatest(nh - 3, 1))
+group by doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2017,6 +2160,7 @@ QUERIES: dict[str, tuple] = {
     "ann_ivf_probe": (q_ann_ivf_probe, O_ANN_IVF),
     # KG pipeline end-to-end
     "kg_extract_mill": (q_kg_extract_mill, O_KG_EXTRACT_MILL),
+    "kg_js_inline_recover": (q_kg_js_inline_recover, O_KG_JS_RECOVER),
     "kg_graph_urn": (q_kg_graph_urn, O_KG_GRAPH_URN),
     "kg_nquads_export": (q_kg_nquads_export, O_KG_NQUADS),
     "kg_shape_validation": (q_kg_shape_validation, O_KG_SHAPE),
@@ -2029,6 +2173,6 @@ QUERIES: dict[str, tuple] = {
     "multimodal_frames": (q_multimodal_frames, None),
     "streaming_event_counts": (q_streaming_event_counts, O_STREAMING),
     "streaming_sessionize": (q_streaming_sessionize, O_STREAMING_SESSIONIZE),
-    "streaming_incremental_kg": (q_streaming_incremental_kg, None),
-    "winnow_fingerprint": (q_winnow_fingerprint, None),
+    "streaming_incremental_kg": (q_streaming_incremental_kg, O_STREAM_KG),
+    "winnow_fingerprint": (q_winnow_fingerprint, O_WINNOW),
 }
