@@ -1565,6 +1565,98 @@ from built
 """
 
 
+#: big-sitegraph filler size — over core.process.MAX_NORMALIZE_BYTES
+#: (2 MiB) so the skip-normalize → filesha fallback actually fires
+_SITEGRAPH_BIG_BYTES = 2_200_000
+
+
+def q_sitegraph_scan(spark, sf_dir):
+    """S6: sitegraph ingestion — one whole JSON-LD graph per source fed
+    straight into the shared normalize path (sitegraph.go:24-131).  Per
+    source TWO rows: a normal-size graph (URDNA2015-normalized ids) and
+    a >MAX_NORMALIZE_BYTES graph proving the reference's "Don't
+    normalize big files" fallback (sitegraph.go:50): the oracle expects
+    sha256(canonical n-quads) for the small rows and sha256(raw body)
+    for the big ones — a regression in the skip-normalize gate flips the
+    hash class and fails the compare.  Strict fix mode keeps the body
+    byte-identical through fix-up so the oracle can reconstruct it."""
+    from ..operators.stages import normalize_stage
+    from ..sources.sitegraph import sitegraph_blocks
+
+    srcs = _load(spark, sf_dir, "documents").select("source").distinct()
+    body_small = F.concat(
+        F.lit('{"@context": {"@vocab": "https://schema.org/"}, "@id": '
+              '"https://example.org/sg/'),
+        F.col("source"),
+        F.lit('", "@type": "Dataset", "name": "Sitegraph '),
+        F.col("source"),
+        F.lit('", "about": "'),
+        F.col("source"),
+        F.lit('"}'),
+    )
+    small = srcs.select(
+        "source",
+        F.concat(F.lit("https://"), "source",
+                 F.lit(".example.org/sitegraph.jsonld")).alias("url"),
+        body_small.alias("body"),
+    )
+    # big body = '{' + the oversized description + the small body's tail
+    big_body = F.concat(
+        F.substring(body_small, 1, 1),
+        F.expr(f"concat('\"description\": \"', repeat('x', "
+               f"{_SITEGRAPH_BIG_BYTES}), '\", ')"),
+        F.substring(body_small, 2, 10_000_000),
+    )
+    big = srcs.select(
+        "source",
+        F.concat(F.lit("https://"), "source",
+                 F.lit(".example.org/sitegraph_big.jsonld")).alias("url"),
+        big_body.alias("body"),
+    )
+    blocks = sitegraph_blocks(
+        small.unionByName(big),
+        identifiertype="normalizedjsonsha",
+        fixcontextoption="strict",
+    )
+    docs = normalize_stage(blocks).filter(F.col("valid"))
+    return docs.select(
+        "source", "url", "norm_sha256", "id_type",
+        F.size("quads").alias("n_triples"),
+    )
+
+
+O_SITEGRAPH = f"""
+with s as (select distinct source from documents),
+small as (
+  select source,
+    concat('https://', source, '.example.org/sitegraph.jsonld') as url,
+    concat('<https://example.org/sg/', source, '>') as subj
+  from s
+),
+big as (
+  select source,
+    concat('https://', source, '.example.org/sitegraph_big.jsonld') as url,
+    concat('{{', '"description": "', repeat('x', {_SITEGRAPH_BIG_BYTES}), '", ',
+           '"@context": {{"@vocab": "https://schema.org/"}}, "@id": ',
+           '"https://example.org/sg/', source, '", "@type": "Dataset", ',
+           '"name": "Sitegraph ', source, '", "about": "', source, '"}}') as body
+  from s
+)
+select source, url,
+       sha256(concat(
+         subj, ' <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <https://schema.org/Dataset> .', chr(10),
+         subj, ' <https://schema.org/about> "', source, '" .', chr(10),
+         subj, ' <https://schema.org/name> "Sitegraph ', source, '" .', chr(10)
+       )) as norm_sha256,
+       'jsonsha' as id_type, 3::INT as n_triples
+from small
+union all
+select source, url, sha256(body) as norm_sha256,
+       'jsonsha' as id_type, 4::INT as n_triples
+from big
+"""
+
+
 def q_kg_graph_urn(spark, sf_dir):
     """URDNA2015 + SHA-256 graph id, oracled by constructing the
     canonical n-quads (known sorted line order for this doc shape) and
@@ -2135,6 +2227,7 @@ QUERIES: dict[str, tuple] = {
     "json_path_extract": (q_json_path_extract, O_JSON_PATH),
     "robots_filter": (q_robots_filter, O_ROBOTS_FILTER),
     "sitemap_scan": (q_sitemap_scan, O_SITEMAP_SCAN),
+    "sitegraph_scan": (q_sitegraph_scan, O_SITEGRAPH),
     "robots_sitemaps": (q_robots_sitemaps, O_ROBOTS_SITEMAPS),
     "api_paged_scan": (q_api_paged_scan, O_API_PAGED),
     # text analysis

@@ -103,3 +103,74 @@ def test_whole_body_json_verbatim():
 
 def test_html_page_routes_to_script_extraction():
     assert extract_jsonld_strings(page(JSONLD), "https://x.org/p.html") == [JSONLD]
+
+
+class TestInlineJsonldRecovery:
+    """S5 headless-gap fallback: conservative JSON-LD recovery from plain
+    <script> JS (core/extract.py:find_inline_jsonld; reference reaches
+    these shapes only via headless Chrome, headlessNG.go:302-349)."""
+
+    HTML = (
+        '<html><head>'
+        '<script type="text/javascript">\n'
+        '// a decoy comment with {"@type": "Nope"}\n'
+        'var schemaData = {"@context": "https://schema.org/",'
+        ' "@type": "Dataset", "name": "JS dataset {braces} ok"};\n'
+        'render(schemaData);\n'
+        'function f() { var other = {"plain": 1};'
+        ' if (x) { return {"@type": "Person", "name": "Inner"}; } }\n'
+        '</script>'
+        # a whole ld+json tag built inside a JS string literal, with JS
+        # escapes (\' and <\/script>) the recovery must unescape
+        + "<script>"
+        + r"""document.head.insertAdjacentHTML('beforeend', '<script type="application/ld+json">{"@context": "https://schema.org/", "@type": "Event", "name": "Injected \'quoted\'"}<\/script>');"""
+        + "</script>"
+        '<script>var p = JSON.parse(\'{"@context": "https://schema.org/",'
+        ' "@type": "Organization", "name": "Parsed"}\');</script>'
+        '<!-- <script type="application/ld+json">{"decoy": true}</script> -->'
+        '<!-- commented js: <script>var c = {"@type": "Commented"};</script> -->'
+        '<script type="application/ld+json">{"@type": "Static"}</script>'
+        '</head><body></body></html>'
+    )
+
+    def test_recovers_all_three_js_shapes_in_order(self):
+        from gleaner_spark.core.extract import find_inline_jsonld
+
+        got = find_inline_jsonld(self.HTML)
+        assert [g.split('"@type": "')[1].split('"')[0] for g in got] == [
+            "Dataset", "Person", "Event", "Organization"
+        ]
+
+    def test_never_recovers_decoys_comments_or_plain_objects(self):
+        from gleaner_spark.core.extract import find_inline_jsonld
+
+        got = " ".join(find_inline_jsonld(self.HTML))
+        for bad in ("decoy", "Commented", "Nope", '"plain"', "Static"):
+            assert bad not in got, bad
+
+    def test_static_extraction_untouched(self):
+        from gleaner_spark.core.extract import find_script_blocks
+
+        assert find_script_blocks(self.HTML) == ['{"@type": "Static"}']
+
+    def test_verbatim_substring_and_dedup(self):
+        from gleaner_spark.core.extract import find_inline_jsonld
+
+        doc = '{"@context": "https://schema.org/", "@type": "Thing"}'
+        html = f"<script>var a = {doc}; var b = {doc};</script>"
+        assert find_inline_jsonld(html) == [doc]
+
+    def test_parse_budget_bounds_adversarial_pages(self):
+        from gleaner_spark.core.extract import find_inline_jsonld
+
+        many = "".join(
+            f'var v{i} = {{"@type": "T{i}"}};' for i in range(200)
+        )
+        got = find_inline_jsonld(f"<script>{many}</script>")
+        assert len(got) <= 64  # max_parse_attempts cap
+
+    def test_no_scripts_or_empty(self):
+        from gleaner_spark.core.extract import find_inline_jsonld
+
+        assert find_inline_jsonld("<html><body>x</body></html>") == []
+        assert find_inline_jsonld("") == []
