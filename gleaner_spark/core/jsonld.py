@@ -151,7 +151,33 @@ def _load_context_assets_from_env() -> None:
             continue  # a malformed asset must not break workers
 
 
+def _load_packaged_context_assets() -> None:
+    """Vendored in-package context assets (``gleaner_spark/assets/
+    contexts/*.json``, same ``{"url", "context"}`` format as the env-dir
+    hook) — real public contexts every deployment gets by default:
+    W3C DCAT and CodeMeta 2.0 subsets.  Package files travel inside the
+    ``--py-files`` zip, so executors self-register on module import with
+    no extra deployment step (unlike GLEANER_CONTEXTS_DIR, which is for
+    deployment-specific additions)."""
+    import os
+
+    d = os.path.join(os.path.dirname(__file__), "..", "assets", "contexts")
+    if not os.path.isdir(d):
+        return
+    for name in sorted(os.listdir(d)):
+        if not name.endswith((".json", ".jsonld")):
+            continue
+        try:
+            with open(os.path.join(d, name)) as f:
+                doc = json.load(f)
+            if isinstance(doc, dict) and "url" in doc and "context" in doc:
+                register_remote_context(doc["url"], doc["context"])
+        except (OSError, ValueError):
+            continue  # a malformed asset must not break workers
+
+
 register_remote_context("https://schema.org", SCHEMA_ORG_REMOTE_CONTEXT)
+_load_packaged_context_assets()
 _load_context_assets_from_env()
 
 # Example deployment context asset (same mechanism the reference uses to

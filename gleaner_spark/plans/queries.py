@@ -1933,6 +1933,93 @@ select s, '<http://purl.org/dc/terms/license>',
 """
 
 
+def q_kg_context_registry(spark, sf_dir):
+    """Vendored PUBLIC remote contexts end-to-end (core/jsonld.py
+    packaged assets): even docs use the W3C DCAT context
+    (https://www.w3.org/ns/dcat.jsonld subset — prefix terms like
+    ``title: dct:title`` plus @type:@id coercions), odd docs the
+    CodeMeta 2.0 context (https://doi.org/10.5063/schema/codemeta-2.0
+    subset — ``id``/``type`` keyword aliases, schema/codemeta prefixes,
+    an @type:@id coercion AND a non-@id datatype coercion).  Strict fix
+    mode keeps the string @context intact for registry resolution."""
+    from ..operators.stages import mill_stage, normalize_stage
+
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < KG_DOC_LIMIT)
+    did = F.col("doc_id").cast("string")
+    dcat = F.concat(
+        F.lit('{"@context": "https://www.w3.org/ns/dcat.jsonld", '
+              '"@id": "https://example.org/dcat/'), did,
+        F.lit('", "@type": "Dataset", "title": "Doc '), did,
+        F.lit('", "keyword": "'), F.col("source"),
+        F.lit('", "downloadURL": "https://'), F.col("source"),
+        F.lit(".example.org/dl/"), did, F.lit('.csv"}'),
+    )
+    codemeta = F.concat(
+        F.lit('{"@context": "https://doi.org/10.5063/schema/codemeta-2.0", '
+              '"id": "https://example.org/sw/'), did,
+        F.lit('", "type": "SoftwareSourceCode", "name": "Doc '), did,
+        F.lit('", "programmingLanguage": "'), F.col("lang"),
+        F.lit('", "codeRepository": "https://'), F.col("source"),
+        F.lit(".example.org/repo/"), did,
+        F.lit('", "developmentStatus": "'), F.col("source"), F.lit('"}'),
+    )
+    jsonld = F.when(F.col("doc_id") % 2 == 0, dcat).otherwise(codemeta)
+    blocks = d.select(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.org/ctxdoc/"), F.col("doc_id")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.col("source"),
+        F.concat(F.col("source"), F.lit(".example.org")).alias("host"),
+        F.col("lang"),
+        F.lit("jsonsha").alias("identifiertype"),
+        F.lit("").alias("identifierpath"),
+        F.lit("strict").alias("fixcontextoption"),
+        F.lit(0).alias("block_idx"),
+        jsonld.alias("jsonld"),
+    )
+    docs = normalize_stage(blocks).filter(F.col("valid"))
+    triples = mill_stage(docs, bucket="gleaner")
+    return triples.select("subject", "predicate", "object")
+
+
+O_KG_CONTEXT_REGISTRY = f"""
+with d as (select doc_id, source, lang from documents where doc_id < {KG_DOC_LIMIT}),
+dcat as (select concat('<https://example.org/dcat/', cast(doc_id as varchar), '>') as s,
+                doc_id, source from d where doc_id % 2 = 0),
+cm as (select concat('<https://example.org/sw/', cast(doc_id as varchar), '>') as s,
+              doc_id, source, lang from d where doc_id % 2 = 1)
+select s as subject,
+       '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' as predicate,
+       '<http://www.w3.org/ns/dcat#Dataset>' as object from dcat
+union all
+select s, '<http://purl.org/dc/terms/title>',
+       concat('"Doc ', cast(doc_id as varchar), '"') from dcat
+union all
+select s, '<http://www.w3.org/ns/dcat#keyword>',
+       concat('"', source, '"') from dcat
+union all
+select s, '<http://www.w3.org/ns/dcat#downloadURL>',
+       concat('<https://', source, '.example.org/dl/',
+              cast(doc_id as varchar), '.csv>') from dcat
+union all
+select s, '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>',
+       '<http://schema.org/SoftwareSourceCode>' from cm
+union all
+select s, '<http://schema.org/name>',
+       concat('"Doc ', cast(doc_id as varchar), '"') from cm
+union all
+select s, '<http://schema.org/programmingLanguage>',
+       concat('"', lang, '"') from cm
+union all
+select s, '<http://schema.org/codeRepository>',
+       concat('<https://', source, '.example.org/repo/',
+              cast(doc_id as varchar), '>') from cm
+union all
+select s, '<https://codemeta.github.io/terms/developmentStatus>',
+       concat('"', source, '"') from cm
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal metadata (binary payload plumbing; decode is a typed stub)
 # ---------------------------------------------------------------------------
@@ -2259,6 +2346,7 @@ QUERIES: dict[str, tuple] = {
     "kg_shape_validation": (q_kg_shape_validation, O_KG_SHAPE),
     "kg_prov": (q_kg_prov, O_KG_PROV),
     "kg_remote_context": (q_kg_remote_context, O_KG_REMOTE_CTX),
+    "kg_context_registry": (q_kg_context_registry, O_KG_CONTEXT_REGISTRY),
     "entity_cc": (q_entity_cc, O_ENTITY_CC),
     # multimodal metadata + streaming + non-SQL ops
     "multimodal_meta": (q_multimodal_meta, O_MULTIMODAL_META),
