@@ -38,6 +38,8 @@ class PropertyConstraint:
     node_kind: str | None = None    # 'IRI' | 'Literal' | 'BlankNode'
     datatype: str | None = None     # literal datatype IRI
     class_iri: str | None = None    # sh:class — values must be instances
+    pattern: str | None = None      # sh:pattern — regex every literal must match
+    has_value: str | None = None    # sh:hasValue — serialized term that must occur
 
 
 @dataclass
@@ -103,6 +105,12 @@ def shapes_from_triples(shape_rows) -> list[NodeShape]:
                     c.datatype = val
                 elif pred == SH + "class":
                     c.class_iri = val
+                elif pred == SH + "pattern":
+                    c.pattern = val
+                elif pred == SH + "hasValue":
+                    # keep the SERIALIZED term — comparison is against the
+                    # object column's serialized form
+                    c.has_value = obj
             if c.path:
                 shape.properties.append(c)
         shapes.append(shape)
@@ -135,12 +143,23 @@ def _value_filter(c: PropertyConstraint):
     return ok
 
 
+def _literal_body(col=None):
+    """Lexical form of a serialized literal: the text between the opening
+    quote and the LAST closing quote (escaped quotes inside the body stay
+    escaped — fine for matching, patterns see the same escaping on both
+    engines)."""
+    return F.regexp_extract(col if col is not None else F.col("object"),
+                            r'^"(.*)"', 1)
+
+
 def shape_conformance(triples: DataFrame, shapes: list[NodeShape]) -> DataFrame:
     """(subject, shape_id, conforms) for every target of every shape.
 
     One aggregation pass per shape over the semi-joined triples; all
-    counting constraints evaluate in a single groupBy.  sh:class adds
-    one anti-join against the instance relation per constrained path.
+    counting constraints — plus sh:pattern (no literal value may fail
+    the regex) and sh:hasValue (the serialized term must occur) —
+    evaluate in a single groupBy.  sh:class adds one anti-join against
+    the instance relation per constrained path.
     """
     out: DataFrame | None = None
     for shape in shapes:
@@ -157,12 +176,27 @@ def shape_conformance(triples: DataFrame, shapes: list[NodeShape]) -> DataFrame:
             F.sum(_value_filter(c).cast("int")).alias(f"n{i}")
             for i, c in enumerate(shape.properties)
         ]
+        for i, c in enumerate(shape.properties):
+            on_path = F.col("predicate") == f"<{c.path}>"
+            if c.pattern is not None:
+                aggs.append(F.sum((
+                    on_path & F.col("object").startswith('"')
+                    & ~_literal_body().rlike(c.pattern)
+                ).cast("int")).alias(f"badpat{i}"))
+            if c.has_value is not None:
+                aggs.append(F.sum((
+                    on_path & (F.col("object") == c.has_value)
+                ).cast("int")).alias(f"hv{i}"))
         per = base.groupBy("subject").agg(*aggs)
         conforms = F.lit(True)
         for i, c in enumerate(shape.properties):
             conforms = conforms & (F.col(f"n{i}") >= c.min_count)
             if c.max_count is not None:
                 conforms = conforms & (F.col(f"n{i}") <= c.max_count)
+            if c.pattern is not None:
+                conforms = conforms & (F.col(f"badpat{i}") == 0)
+            if c.has_value is not None:
+                conforms = conforms & (F.col(f"hv{i}") >= 1)
         res = per.select(
             "subject", F.lit(shape.shape_id).alias("shape_id"),
             conforms.alias("conforms"),
@@ -197,4 +231,108 @@ def shape_conformance(triples: DataFrame, shapes: list[NodeShape]) -> DataFrame:
         out = res if out is None else out.unionByName(res)
     if out is None:
         raise ValueError("no NodeShape with a sh:targetClass in shapes input")
+    return out
+
+
+def shape_validation_report(triples: DataFrame,
+                            shapes: list[NodeShape]) -> DataFrame:
+    """SHACL-style validation REPORT: one row per violation —
+    ``(focus_node, shape_id, result_path, constraint_component)`` —
+    instead of the boolean roll-up of :func:`shape_conformance`.  The
+    reference stores a per-source verification report object
+    (``internal/millers/shapes/shaclng.go:18-120``); this is that
+    report's relational core, with the standard component IRIs so a
+    downstream tool can render full sh:ValidationResult nodes.
+
+    Components emitted: MinCount, MaxCount, NodeKind, Datatype, Pattern,
+    HasValue, Class.  Each is a filter/aggregate over the semi-joined
+    target triples — no per-document engine, every check distributes.
+    """
+    frames: list[DataFrame] = []
+
+    def _vio(df: DataFrame, shape: NodeShape, path: str, comp: str) -> None:
+        frames.append(df.select(
+            F.col("subject").alias("focus_node"),
+            F.lit(shape.shape_id).alias("shape_id"),
+            F.lit(path).alias("result_path"),
+            F.lit(f"{SH}{comp}ConstraintComponent").alias(
+                "constraint_component"),
+        ).distinct())
+
+    any_shape = False
+    for shape in shapes:
+        any_shape = True
+        targets = (
+            triples.filter(
+                (F.col("predicate") == RDF_TYPE)
+                & (F.col("object") == f"<{shape.target_class}>")
+            )
+            .select("subject")
+            .distinct()
+        )
+        base = triples.join(targets, "subject", "left_semi")
+        counting = base.groupBy("subject").agg(*[
+            F.sum(_value_filter(c).cast("int")).alias(f"n{i}")
+            for i, c in enumerate(shape.properties)
+        ])
+        counted = targets.join(counting, "subject", "left")
+        for i, c in enumerate(shape.properties):
+            on_path = base.filter(F.col("predicate") == f"<{c.path}>")
+            cnt = F.coalesce(F.col(f"n{i}"), F.lit(0))
+            if c.min_count > 0:
+                _vio(counted.filter(cnt < c.min_count), shape, c.path,
+                     "MinCount")
+            if c.max_count is not None:
+                _vio(counted.filter(cnt > c.max_count), shape, c.path,
+                     "MaxCount")
+            if c.node_kind is not None:
+                kind_ok = {
+                    "IRI": F.col("object").startswith("<"),
+                    "Literal": F.col("object").startswith('"'),
+                    "BlankNode": F.col("object").startswith("_:"),
+                }[c.node_kind]
+                _vio(on_path.filter(~kind_ok), shape, c.path, "NodeKind")
+            if c.datatype is not None:
+                if c.datatype == XSD_STRING:
+                    dt_ok = (
+                        F.col("object").startswith('"')
+                        & ~F.col("object").rlike(r"\^\^<[^>]*>$")
+                        & ~F.col("object").rlike(r'"@[A-Za-z][A-Za-z0-9-]*$')
+                    )
+                else:
+                    dt_ok = F.col("object").endswith(f"^^<{c.datatype}>")
+                _vio(on_path.filter(~dt_ok), shape, c.path, "Datatype")
+            if c.pattern is not None:
+                _vio(
+                    on_path.filter(
+                        F.col("object").startswith('"')
+                        & ~_literal_body().rlike(c.pattern)
+                    ),
+                    shape, c.path, "Pattern",
+                )
+            if c.has_value is not None:
+                holders = on_path.filter(
+                    F.col("object") == c.has_value
+                ).select("subject")
+                _vio(targets.join(holders, "subject", "left_anti"),
+                     shape, c.path, "HasValue")
+            if c.class_iri is not None:
+                instances = (
+                    triples.filter(
+                        (F.col("predicate") == RDF_TYPE)
+                        & (F.col("object") == f"<{c.class_iri}>")
+                    )
+                    .select(F.col("subject").alias("object"))
+                    .distinct()
+                )
+                _vio(
+                    on_path.select("subject", "object")
+                    .join(instances, "object", "left_anti"),
+                    shape, c.path, "Class",
+                )
+    if not any_shape:
+        raise ValueError("no NodeShape with a sh:targetClass in shapes input")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
     return out

@@ -1825,6 +1825,116 @@ from d
 """
 
 
+KG_REPORT_SHAPES_JSONLD = (
+    '{"@context": {"sh": "http://www.w3.org/ns/shacl#",'
+    ' "schema": "https://schema.org/"},'
+    ' "@id": "https://example.org/shapes/ReportShape",'
+    ' "@type": "sh:NodeShape",'
+    ' "sh:targetClass": {"@id": "schema:Dataset"},'
+    ' "sh:property": ['
+    '   {"sh:path": {"@id": "schema:name"}, "sh:minCount": 1, "sh:maxCount": 1},'
+    '   {"sh:path": {"@id": "schema:url"}, "sh:nodeKind": {"@id": "sh:IRI"}},'
+    '   {"sh:path": {"@id": "schema:identifier"}, "sh:pattern": "^doi:"},'
+    '   {"sh:path": {"@id": "schema:license"},'
+    '    "sh:hasValue": {"@id": "https://example.org/license/CC0"}},'
+    '   {"sh:path": {"@id": "schema:creator"}, "sh:class": {"@id": "schema:Person"}}]}'
+)
+
+
+def q_kg_shape_report(spark, sf_dir):
+    """V1 report shape: SHACL validation REPORT rows (focus_node,
+    result_path, constraint_component) over a MIXED corpus with
+    deliberate violations of every supported component — MinCount
+    (doc_id%5==0: name missing), MaxCount (%7==0: second name),
+    NodeKind (%4==0: literal url), Pattern (%6==0: identifier not
+    ^doi:), HasValue (%3==0: CC0 license missing), Class (%8==0:
+    creator not Person-typed).  The shapes graph itself carries
+    sh:pattern/sh:hasValue and is parsed from milled SHACL JSON-LD —
+    the reference's stored verification-report capability
+    (shaclng.go:18-120) as one relational pass."""
+    from ..core.mill import mill
+    from ..operators.shacl import shape_validation_report, shapes_from_triples
+
+    shapes = shapes_from_triples(
+        [(r.subject, r.predicate, r.object)
+         for r in mill(KG_REPORT_SHAPES_JSONLD, "shapes", "")]
+    )
+    d = _load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < KG_DOC_LIMIT
+    ).select("doc_id")
+    did = F.col("doc_id").cast("string")
+    s = F.concat(F.lit("<https://example.org/e/"), did, F.lit(">"))
+    person = F.concat(F.lit("<https://example.org/p/"), did, F.lit(">"))
+
+    def rows(df, subj, pred, obj):
+        return df.select(subj.alias("subject"), F.lit(pred).alias("predicate"),
+                         obj.alias("object") if not isinstance(obj, str)
+                         else F.lit(obj).alias("object"))
+
+    rdf_type = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    triples = (
+        rows(d, s, rdf_type, "<https://schema.org/Dataset>")
+        .unionByName(rows(
+            d.filter(F.col("doc_id") % 5 != 0), s, "<https://schema.org/name>",
+            F.concat(F.lit('"Name '), did, F.lit('"'))))
+        .unionByName(rows(
+            d.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 5 != 0)),
+            s, "<https://schema.org/name>",
+            F.concat(F.lit('"Name '), did, F.lit(' b"'))))
+        .unionByName(rows(
+            d, s, "<https://schema.org/url>",
+            F.when(F.col("doc_id") % 4 == 0, F.lit('"not-an-iri"'))
+            .otherwise(F.concat(F.lit("<https://ok.example/"), did, F.lit(">")))))
+        .unionByName(rows(
+            d, s, "<https://schema.org/identifier>",
+            F.when(F.col("doc_id") % 6 == 0,
+                   F.concat(F.lit('"bad-'), did, F.lit('"')))
+            .otherwise(F.concat(F.lit('"doi:10.5/'), did, F.lit('"')))))
+        .unionByName(rows(
+            d.filter(F.col("doc_id") % 3 != 0), s,
+            "<https://schema.org/license>",
+            F.lit("<https://example.org/license/CC0>")))
+        .unionByName(rows(d, s, "<https://schema.org/creator>", person))
+        .unionByName(rows(
+            d.filter(F.col("doc_id") % 8 != 0), person, rdf_type,
+            "<https://schema.org/Person>"))
+    )
+    return shape_validation_report(triples, shapes).select(
+        "focus_node", "result_path", "constraint_component"
+    )
+
+
+O_KG_SHAPE_REPORT = f"""
+with d as (select doc_id from documents where doc_id < {KG_DOC_LIMIT}),
+e as (select doc_id,
+             concat('<https://example.org/e/', cast(doc_id as varchar), '>') as f
+      from d)
+select f as focus_node, 'https://schema.org/name' as result_path,
+       'http://www.w3.org/ns/shacl#MinCountConstraintComponent' as constraint_component
+from e where doc_id % 5 = 0
+union all
+select f, 'https://schema.org/name',
+       'http://www.w3.org/ns/shacl#MaxCountConstraintComponent'
+from e where doc_id % 7 = 0 and doc_id % 5 <> 0
+union all
+select f, 'https://schema.org/url',
+       'http://www.w3.org/ns/shacl#NodeKindConstraintComponent'
+from e where doc_id % 4 = 0
+union all
+select f, 'https://schema.org/identifier',
+       'http://www.w3.org/ns/shacl#PatternConstraintComponent'
+from e where doc_id % 6 = 0
+union all
+select f, 'https://schema.org/license',
+       'http://www.w3.org/ns/shacl#HasValueConstraintComponent'
+from e where doc_id % 3 = 0
+union all
+select f, 'https://schema.org/creator',
+       'http://www.w3.org/ns/shacl#ClassConstraintComponent'
+from e where doc_id % 8 = 0
+"""
+
+
 def q_kg_prov(spark, sf_dir):
     """R5/J2: prov rows enriched from the sources dimension
     (PID/ProperName/Domain joined per prov.go:83-91) — the oracle
@@ -2344,6 +2454,7 @@ QUERIES: dict[str, tuple] = {
     "kg_graph_urn": (q_kg_graph_urn, O_KG_GRAPH_URN),
     "kg_nquads_export": (q_kg_nquads_export, O_KG_NQUADS),
     "kg_shape_validation": (q_kg_shape_validation, O_KG_SHAPE),
+    "kg_shape_report": (q_kg_shape_report, O_KG_SHAPE_REPORT),
     "kg_prov": (q_kg_prov, O_KG_PROV),
     "kg_remote_context": (q_kg_remote_context, O_KG_REMOTE_CTX),
     "kg_context_registry": (q_kg_context_registry, O_KG_CONTEXT_REGISTRY),

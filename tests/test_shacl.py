@@ -167,3 +167,38 @@ def test_datatype_xsd_string_excludes_language_tagged(spark):
     got = {r.subject: r.conforms
            for r in shape_conformance(triples, [shape]).collect()}
     assert got == {"<s1>": True, "<s2>": False, "<s3>": True}
+
+
+def test_conformance_pattern_and_hasvalue(spark):
+    """sh:pattern (every literal must match) and sh:hasValue (the term
+    must occur) fold into the conformance roll-up."""
+    from gleaner_spark.operators.shacl import (
+        NodeShape, PropertyConstraint, shape_conformance,
+    )
+
+    t = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    rows = [
+        ("<s1>", t, "<http://ex.org/T>", "g"),
+        ("<s1>", "<http://ex.org/doi>", '"doi:10.5/1"', "g"),
+        ("<s1>", "<http://ex.org/lic>", "<http://ex.org/CC0>", "g"),
+        ("<s2>", t, "<http://ex.org/T>", "g"),         # pattern violation
+        ("<s2>", "<http://ex.org/doi>", '"bad"', "g"),
+        ("<s2>", "<http://ex.org/lic>", "<http://ex.org/CC0>", "g"),
+        ("<s3>", t, "<http://ex.org/T>", "g"),         # hasValue violation
+        ("<s3>", "<http://ex.org/doi>", '"doi:10.5/3"', "g"),
+        ("<s3>", "<http://ex.org/lic>", "<http://ex.org/Other>", "g"),
+    ]
+    triples = spark.createDataFrame(
+        rows, "subject string, predicate string, object string, graph string"
+    )
+    shape = NodeShape(
+        shape_id="S", target_class="http://ex.org/T",
+        properties=[
+            PropertyConstraint(path="http://ex.org/doi", pattern="^doi:"),
+            PropertyConstraint(path="http://ex.org/lic",
+                               has_value="<http://ex.org/CC0>"),
+        ],
+    )
+    got = {r.subject: r.conforms
+           for r in shape_conformance(triples, [shape]).collect()}
+    assert got == {"<s1>": True, "<s2>": False, "<s3>": False}
