@@ -45,8 +45,10 @@ HEADLINE = [
     "ann_lsh_bucketed",
     "embedding_centroids",
     "kg_extract_mill",
+    "kg_js_inline_recover",
     "kg_graph_urn",
     "kg_shape_validation",
+    "kg_shape_report",
     "entity_cc",
     "winnow_fingerprint",
 ]

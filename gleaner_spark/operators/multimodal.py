@@ -88,9 +88,13 @@ def decode_features(media: DataFrame, repartition_to: int | None = None) -> Data
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
-                meta = r["meta"]
+            # zip over the column arrays — iterrows() materializes a
+            # Series per row and upcasts mixed dtypes (round-1 review
+            # finding; matters once real decoders replace the stub)
+            for pid, mime, payload, meta in zip(
+                pdf["payload_id"], pdf["mime"], pdf["payload"], pdf["meta"]
+            ):
+                payload = bytes(payload) if payload is not None else b""
                 w, h, pixels = decode_image_stub(
                     payload,
                     (meta["width"] if meta is not None else 0) or 0,
@@ -102,10 +106,7 @@ def decode_features(media: DataFrame, repartition_to: int | None = None) -> Data
                     float(sum(pixels[i::FEATURE_DIM][:256]) % 10007) / 10007.0
                     for i in range(FEATURE_DIM)
                 ]
-                rows.append(
-                    (r["payload_id"], r["mime"], w, h, n_px,
-                     round(mean_luma, 6), feat)
-                )
+                rows.append((pid, mime, w, h, n_px, round(mean_luma, 6), feat))
             yield pd.DataFrame(
                 rows,
                 columns=["payload_id", "mime", "width", "height",
@@ -126,15 +127,16 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
-                meta = r["meta"]
+            for pid, payload, meta in zip(
+                pdf["payload_id"], pdf["payload"], pdf["meta"]
+            ):
+                payload = bytes(payload) if payload is not None else b""
                 dur = (meta["duration_ms"] if meta is not None else 0) or 0
                 n = min(max(dur // every_ms, 1), max_frames)
                 for k in range(int(n)):
                     ts = k * every_ms
                     fm = hashlib.md5(payload + str(k).encode()).hexdigest()
-                    rows.append((r["payload_id"], k, ts, fm))
+                    rows.append((pid, k, ts, fm))
             yield pd.DataFrame(
                 rows, columns=["payload_id", "frame_idx", "frame_ts_ms",
                                "frame_md5"],

@@ -807,33 +807,44 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         .withColumn("rn", F.row_number().over(w_rn))
         .withColumn("n_sh", F.count("*").over(w_n))
         .filter(F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1)
-        .select("doc_id", F.col("s").alias("shingle"))
+        .select("doc_id", F.col("s").alias("shingle"), "rn", "n_sh")
     )
+    # candidate join with BOTH prunes inside the join (PPJoin-style),
+    # before the pair-dedup shuffle:
+    #  - length-ratio: J ≥ t requires t·|B| ≤ |A| ≤ |B|/t;
+    #  - positional: at a pair's FIRST shared prefix shingle (positions
+    #    ra/rb in the global rarity order) the overlap is bounded by
+    #    1 + min(na−ra, nb−rb), and J ≥ t needs overlap ≥
+    #    ⌈t/(1+t)·(na+nb)⌉ — rows failing the bound can't be a pair's
+    #    first match, and every truly-similar pair survives via its
+    #    first-match row (no false negatives; verification is exact)
+    l = prefix.select(F.col("doc_id").alias("a"), "shingle",
+                      F.col("rn").alias("ra"), F.col("n_sh").alias("na"))
+    r = prefix.select(F.col("doc_id").alias("b"), "shingle",
+                      F.col("rn").alias("rb"), F.col("n_sh").alias("nb"))
+    alpha = F.ceil(F.lit(t / (1 + t)) * (F.col("na") + F.col("nb")))
     cand = (
-        prefix.alias("l")
-        .join(prefix.alias("r"), "shingle")
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(
-            F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b")
+        l.join(r, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .filter(
+            (F.col("na") >= F.ceil(F.lit(t) * F.col("nb")))
+            & (F.col("nb") >= F.ceil(F.lit(t) * F.col("na")))
         )
+        .filter(
+            1 + F.least(F.col("na") - F.col("ra"),
+                        F.col("nb") - F.col("rb")) >= alpha
+        )
+        .select("a", "b")
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"),
-                   F.col("n_sh").alias("na"))
-    sb = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"),
-                   F.col("n_sh").alias("nb"))
+    sa = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
     return (
         cand.join(sa, "a")
         .join(sb, "b")
-        # length-ratio prune: J(A,B) ≥ t requires t·|B| ≤ |A| ≤ |B|/t —
-        # integer-size compare is far cheaper than the array intersection
-        .filter(
-            (F.col("na") >= F.ceil(F.lit(t) * F.col("nb")))
-            & (F.col("nb") >= F.ceil(F.lit(t) * F.col("na")))
-        )
         .withColumn("jaccard", F.round(jaccard, 4))
         .filter(F.col("jaccard") >= t)
         .select("a", "b", "jaccard")
@@ -1487,6 +1498,88 @@ union all
 select s, '<https://schema.org/about>', concat('"', source, '"') from ids
 union all
 select s, '<https://schema.org/inLanguage>', concat('"', lang, '"') from ids
+"""
+
+
+def q_gdrive_scan(spark, sf_dir):
+    """S8 equivalent: drive-type source — page-token-chained folder
+    listing (GetFileList's nextPageToken loop, googledrive.go:169-220)
+    over listing tables, then per-file ingestion through the shared
+    normalize path.  Per source the chain is '' → t1 → t2; an ORPHAN
+    page t9 (dangling token from an aborted listing) carries decoy
+    files that must be excluded.  Verified value-level via the
+    URDNA2015 canonical sha256 per file."""
+    from ..operators.stages import normalize_stage
+    from ..sources.gdrive import drive_blocks, drive_file_list
+
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < KG_DOC_LIMIT)
+    srcs = d.select("source").distinct()
+    listing = srcs.select(
+        "source",
+        F.explode(
+            F.array(
+                F.struct(F.lit("").alias("page_token"),
+                         F.lit("t1").alias("next_page_token")),
+                F.struct(F.lit("t1").alias("page_token"),
+                         F.lit("t2").alias("next_page_token")),
+                F.struct(F.lit("t2").alias("page_token"),
+                         F.lit(None).cast("string").alias("next_page_token")),
+                # orphan chain fragment — unreachable from the root
+                F.struct(F.lit("t9").alias("page_token"),
+                         F.lit(None).cast("string").alias("next_page_token")),
+            )
+        ).alias("p"),
+    ).select("source", "p.page_token", "p.next_page_token")
+    page_of = F.element_at(
+        F.array(F.lit(""), F.lit("t1"), F.lit("t2")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    real_files = d.select(
+        "source", page_of.alias("page_token"),
+        F.concat(F.lit("f"), F.col("doc_id")).alias("file_id"),
+        F.concat(F.lit("doc "), F.col("doc_id")).alias("name"),
+    )
+    orphan_files = d.filter(F.col("doc_id") % 10 == 0).select(
+        "source", F.lit("t9").alias("page_token"),
+        F.concat(F.lit("orphan"), F.col("doc_id")).alias("file_id"),
+        F.concat(F.lit("stale "), F.col("doc_id")).alias("name"),
+    )
+    files = real_files.unionByName(orphan_files)
+    bodies = d.select(
+        "source", F.concat(F.lit("f"), F.col("doc_id")).alias("file_id"),
+        F.expr(_kg_json_sql(False)).alias("body"),
+    ).unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            "source",
+            F.concat(F.lit("orphan"), F.col("doc_id")).alias("file_id"),
+            F.expr(_kg_json_sql(False)).alias("body"),
+        )
+    )
+    found = drive_file_list(listing, files)
+    blocks = drive_blocks(found, bodies, fixcontextoption="strict")
+    docs = normalize_stage(blocks).filter(F.col("valid"))
+    return docs.select(
+        "source",
+        F.regexp_extract("url", r"/(f\d+)$", 1).alias("file_id"),
+        "norm_sha256",
+    )
+
+
+O_GDRIVE_SCAN = f"""
+with d as (select doc_id, source, lang from documents where doc_id < {KG_DOC_LIMIT}),
+built as (
+  select doc_id, source, lang,
+    concat('<https://example.org/doc/', cast(doc_id as varchar), '>') as s
+  from d
+)
+select source, concat('f', cast(doc_id as varchar)) as file_id,
+       sha256(concat(
+         s, ' <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <https://schema.org/Dataset> .', chr(10),
+         s, ' <https://schema.org/about> "', source, '" .', chr(10),
+         s, ' <https://schema.org/inLanguage> "', lang, '" .', chr(10),
+         s, ' <https://schema.org/name> "Doc ', cast(doc_id as varchar), '" .', chr(10)
+       )) as norm_sha256
+from built
 """
 
 
@@ -2427,6 +2520,7 @@ QUERIES: dict[str, tuple] = {
     "sitegraph_scan": (q_sitegraph_scan, O_SITEGRAPH),
     "robots_sitemaps": (q_robots_sitemaps, O_ROBOTS_SITEMAPS),
     "api_paged_scan": (q_api_paged_scan, O_API_PAGED),
+    "gdrive_scan": (q_gdrive_scan, O_GDRIVE_SCAN),
     # text analysis
     "text_normalize": (q_text_normalize, O_TEXT_NORMALIZE),
     "token_count": (q_token_count, O_TOKEN_COUNT),

@@ -245,3 +245,31 @@ def test_sign_lsh_bucket_cap_drops_hot_bucket(spark):
     capped = cap_buckets(eb, ["bucket"], max_bucket=10)
     assert capped.filter(F.col("bucket") == "11111111").count() == 0
     assert capped.filter(F.col("bucket") == "00000001").count() == 2
+
+
+def test_drive_file_list_cycle_terminates_and_long_chain_raises(spark):
+    """S8 drive_file_list: a cyclic nextPageToken chain terminates via
+    the seen-set (each page ingested once, no infinite loop); a chain
+    longer than max_pages raises."""
+    import pytest
+
+    from gleaner_spark.sources.gdrive import drive_file_list
+
+    cyc = spark.createDataFrame(
+        [("s", "", "t1"), ("s", "t1", "")],
+        "source string, page_token string, next_page_token string",
+    )
+    files = spark.createDataFrame(
+        [("s", "", "f1", "n1"), ("s", "t1", "f2", "n2"),
+         ("s", "t9", "orphan", "n3")],
+        "source string, page_token string, file_id string, name string",
+    )
+    got = {r.file_id for r in drive_file_list(cyc, files, max_pages=4).collect()}
+    assert got == {"f1", "f2"}
+
+    chain = spark.createDataFrame(
+        [("s", "", "t1")] + [(f"s", f"t{i}", f"t{i+1}") for i in range(1, 7)],
+        "source string, page_token string, next_page_token string",
+    )
+    with pytest.raises(RuntimeError, match="longer than"):
+        drive_file_list(chain, files, max_pages=4)
