@@ -155,24 +155,41 @@ def _load_packaged_context_assets() -> None:
     """Vendored in-package context assets (``gleaner_spark/assets/
     contexts/*.json``, same ``{"url", "context"}`` format as the env-dir
     hook) — real public contexts every deployment gets by default:
-    W3C DCAT and CodeMeta 2.0 subsets.  Package files travel inside the
-    ``--py-files`` zip, so executors self-register on module import with
-    no extra deployment step (unlike GLEANER_CONTEXTS_DIR, which is for
-    deployment-specific additions)."""
-    import os
+    W3C DCAT and CodeMeta 2.0 subsets.  Read through
+    ``importlib.resources`` so the files resolve when the package ships
+    as a ``--py-files`` ZIP on executors (``os.listdir`` cannot see into
+    zipimport paths), with a plain-directory fallback."""
+    entries: list[tuple[str, str]] = []  # (name, text)
+    try:
+        from importlib import resources
 
-    d = os.path.join(os.path.dirname(__file__), "..", "assets", "contexts")
-    if not os.path.isdir(d):
-        return
-    for name in sorted(os.listdir(d)):
-        if not name.endswith((".json", ".jsonld")):
-            continue
+        root = resources.files("gleaner_spark").joinpath(
+            "assets"
+        ).joinpath("contexts")
+        entries = sorted(
+            (e.name, e.read_text())
+            for e in root.iterdir()
+            if e.name.endswith((".json", ".jsonld"))
+        )
+    except Exception:
+        import os
+
+        d = os.path.join(os.path.dirname(__file__), "..", "assets",
+                         "contexts")
+        if os.path.isdir(d):
+            for name in sorted(os.listdir(d)):
+                if name.endswith((".json", ".jsonld")):
+                    try:
+                        with open(os.path.join(d, name)) as f:
+                            entries.append((name, f.read()))
+                    except OSError:
+                        continue
+    for _name, text in entries:
         try:
-            with open(os.path.join(d, name)) as f:
-                doc = json.load(f)
+            doc = json.loads(text)
             if isinstance(doc, dict) and "url" in doc and "context" in doc:
                 register_remote_context(doc["url"], doc["context"])
-        except (OSError, ValueError):
+        except ValueError:
             continue  # a malformed asset must not break workers
 
 

@@ -41,22 +41,43 @@ def extract_jsonld_udf(html: pd.Series, url: pd.Series) -> pd.Series:
     return pd.Series([one(h, u) for h, u in zip(html, url)])
 
 
-@F.pandas_udf(T.ArrayType(T.StringType()))
-def recover_inline_udf(html: pd.Series) -> pd.Series:
-    """S5 headless-gap fallback: conservative recovery of JSON-LD from
-    PLAIN <script> bodies (core/extract.py:find_inline_jsonld) — JS
-    object literals, JSON.parse payloads, and ld+json tags built inside
-    JS strings.  Applied only to zero-static-block candidate pages (the
-    extract stage gates it), so the extra Python cost is proportional to
-    the measured headless gap, not the corpus."""
+_BLOCK_SCHEMA = T.ArrayType(
+    T.StructType([
+        T.StructField("jsonld", T.StringType()),
+        T.StructField("via", T.StringType()),
+    ])
+)
 
-    def one(h):
+
+@F.pandas_udf(_BLOCK_SCHEMA)
+def extract_with_recovery_udf(html: pd.Series, url: pd.Series) -> pd.Series:
+    """html binary + url → array of (jsonld, via) blocks: the static
+    script-tag extraction (via='static', byte-identity contract) plus —
+    ONLY when a page yields zero static blocks and its bytes hint at
+    embedded JSON-LD — the conservative JS-inline recovery
+    (via='js_inline', core/extract.py:find_inline_jsonld).
+
+    One Arrow pass: the gate runs Python-side on the already-decoded
+    string, so non-candidate pages pay a substring check, not a second
+    UDF evaluation (a column-level F.when(gate, udf) gate does NOT
+    short-circuit — Spark extracts Python UDFs out of conditionals and
+    runs them on every row)."""
+
+    def one(h, u):
         if h is None:
             return []
         s = bytes(h).decode("utf-8", errors="replace")
-        return core_extract.find_inline_jsonld(s)
+        blocks = [(b, "static")
+                  for b in core_extract.extract_jsonld_strings(s, u or "")]
+        if not blocks and (
+            "application/ld+json" in s or '"@context"' in s
+            or '"@type"' in s or '"@graph"' in s
+        ):
+            blocks = [(b, "js_inline")
+                      for b in core_extract.find_inline_jsonld(s)]
+        return blocks
 
-    return pd.Series([one(h) for h in html])
+    return pd.Series([one(h, u) for h, u in zip(html, url)])
 
 
 _QUAD_FIELDS = T.StructType(

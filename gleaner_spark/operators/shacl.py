@@ -49,6 +49,25 @@ class NodeShape:
     properties: list[PropertyConstraint] = field(default_factory=list)
 
 
+def _unescape_nt(s: str) -> str:
+    """Invert the n-quads literal escaping (core/jsonld._ESCAPES:
+    ``\\\\ \\" \\n \\r \\t``) — needed for values used as VALUES (e.g. a
+    regex from sh:pattern); serialized-form comparisons (sh:hasValue)
+    stay escaped on purpose."""
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            out.append({"\\": "\\", '"': '"', "n": "\n", "r": "\r",
+                        "t": "\t"}.get(s[i + 1], s[i + 1]))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def _unlit(obj: str):
     """Parse a serialized n-quads object term → (kind, value, datatype)."""
     if obj.startswith("<"):
@@ -106,7 +125,10 @@ def shapes_from_triples(shape_rows) -> list[NodeShape]:
                 elif pred == SH + "class":
                     c.class_iri = val
                 elif pred == SH + "pattern":
-                    c.pattern = val
+                    # the milled literal body keeps n-quads escaping —
+                    # a regex like ^\d+$ serializes as ^\\d+$ and must
+                    # be unescaped or rlike sees a literal backslash
+                    c.pattern = _unescape_nt(val)
                 elif pred == SH + "hasValue":
                     # keep the SERIALIZED term — comparison is against the
                     # object column's serialized form
@@ -271,11 +293,16 @@ def shape_validation_report(triples: DataFrame,
             .distinct()
         )
         base = triples.join(targets, "subject", "left_semi")
-        counting = base.groupBy("subject").agg(*[
+        count_aggs = [
             F.sum(_value_filter(c).cast("int")).alias(f"n{i}")
             for i, c in enumerate(shape.properties)
-        ])
-        counted = targets.join(counting, "subject", "left")
+        ]
+        if count_aggs:
+            counted = targets.join(
+                base.groupBy("subject").agg(*count_aggs), "subject", "left"
+            )
+        else:  # a shape with no property constraints violates nothing
+            counted = targets
         for i, c in enumerate(shape.properties):
             on_path = base.filter(F.col("predicate") == f"<{c.path}>")
             cnt = F.coalesce(F.col(f"n{i}"), F.lit(0))
@@ -332,6 +359,13 @@ def shape_validation_report(triples: DataFrame,
                 )
     if not any_shape:
         raise ValueError("no NodeShape with a sh:targetClass in shapes input")
+    if not frames:
+        # shapes carry no violation-capable constraints → EMPTY report,
+        # not a crash (a report of zero violations is a valid result)
+        return triples.sparkSession.createDataFrame(
+            [], "focus_node string, shape_id string, result_path string, "
+                "constraint_component string",
+        )
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)

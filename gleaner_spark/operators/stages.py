@@ -83,18 +83,33 @@ def extract_stage(pages_with_source: DataFrame,
     downstream stages filter them out.
 
     ``recover_js_inline`` (default on): pages with ZERO static blocks
-    whose bytes still hint at JSON-LD get a second, conservative pass
-    that recovers JSON-LD from plain <script> code — the static subset
-    of what the reference only reaches via headless rendering
-    (headlessNG.go:302-349).  Recovered blocks carry ``via =
-    'js_inline'`` (static ones ``via = 'static'``) so stats can report
-    recovered vs remaining headless candidates separately.
+    whose bytes still hint at JSON-LD get a conservative recovery pass
+    over plain <script> code — the static subset of what the reference
+    only reaches via headless rendering (headlessNG.go:302-349).
+    Recovered blocks carry ``via = 'js_inline'`` (static ones ``via =
+    'static'``) so stats can report recovered vs remaining headless
+    candidates separately.  Extraction + recovery run in ONE pandas UDF
+    pass with the gate evaluated Python-side on the already-decoded
+    string: the corpus html crosses Arrow exactly once (an F.when(gate,
+    udf) column gate would NOT short-circuit — Spark evaluates Python
+    UDFs unconditionally).
     """
-    from ..functions.udfs import recover_inline_udf
+    from ..functions.udfs import extract_with_recovery_udf
 
-    extracted = pages_with_source.withColumn(
-        "jsonlds", extract_jsonld_udf(F.col("html"), F.col("url"))
-    ).withColumn(
+    if recover_js_inline:
+        extracted = pages_with_source.withColumn(
+            "blocks", extract_with_recovery_udf(F.col("html"), F.col("url"))
+        )
+    else:
+        extracted = pages_with_source.withColumn(
+            "blocks",
+            F.transform(
+                extract_jsonld_udf(F.col("html"), F.col("url")),
+                lambda x: F.struct(x.alias("jsonld"),
+                                   F.lit("static").alias("via")),
+            ),
+        )
+    extracted = extracted.withColumn(
         # headless-coverage signal (S5 gap metric): the raw bytes mention
         # ld+json somewhere — if extraction then yields zero blocks, the
         # JSON-LD is likely injected by scripts the reference renders
@@ -104,37 +119,13 @@ def extract_stage(pages_with_source: DataFrame,
         "has_ldjson_marker",
         F.col("html").cast("string").contains("application/ld+json"),
     )
-    if recover_js_inline:
-        # gate: no static blocks AND a byte-level hint (the ld+json
-        # marker OR a bare "@context" key in script code) — the UDF cost
-        # is proportional to the candidate set, not the corpus
-        gate = (F.size("jsonlds") == 0) & (
-            F.col("has_ldjson_marker")
-            | F.col("html").cast("string").contains('"@context"')
-        )
-        extracted = extracted.withColumn(
-            "js_jsonlds",
-            F.when(gate, recover_inline_udf(F.col("html"))).otherwise(
-                F.expr("array()").cast("array<string>")
-            ),
-        )
-    else:
-        extracted = extracted.withColumn(
-            "js_jsonlds", F.expr("array()").cast("array<string>")
-        )
-    # one combined explode keeps the static block_idx numbering intact
-    # (recovered blocks index after the static ones on a page)
-    combined = F.expr(
-        "concat(transform(jsonlds, x -> struct(x as jsonld, 'static' as via)),"
-        " transform(js_jsonlds, x -> struct(x as jsonld, 'js_inline' as via)))"
-    )
     cols = ["url", "warc_ts", "source", "host", "lang",
             "identifiertype", "identifierpath", "fixcontextoption",
             "has_ldjson_marker"]
     exploded = (
         extracted.select(
             *cols,
-            F.posexplode_outer(combined).alias("block_idx", "block"),
+            F.posexplode_outer("blocks").alias("block_idx", "block"),
         )
         .withColumn("block_idx", F.coalesce("block_idx", F.lit(-1)))
         .withColumn("jsonld", F.col("block.jsonld"))

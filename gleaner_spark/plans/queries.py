@@ -2484,6 +2484,7 @@ hs as (
            j -> unicode(substring(s, i + j, 1))::HUGEINT * {_WINNOW_POWS}[j + 1]))
            % {_WINNOW_MOD})::BIGINT as h
   from d, unnest(generate_series(1, len(s) - 7)) t(i)
+  where len(s) >= 8
 ),
 wins as (
   select doc_id, i,
@@ -2496,6 +2497,17 @@ select doc_id,
        string_agg(lower(hex(m)), '|' order by m) as winnow_fp
 from (select distinct doc_id, m from wins where i <= greatest(nh - 3, 1))
 group by doc_id
+union all
+-- short docs (0 < len(s) < 8): ONE polynomial hash of the whole string
+-- (rolling_hashes' short-input branch); empty docs: empty fingerprint
+select doc_id,
+       lower(hex(list_reduce(
+         list_transform(generate_series(1, len(s)),
+           j -> unicode(substring(s, j, 1))::HUGEINT),
+         (acc, x) -> (acc * 257 + x) % {_WINNOW_MOD})::BIGINT)) as winnow_fp
+from d where len(s) > 0 and len(s) < 8
+union all
+select doc_id, '' as winnow_fp from d where len(s) = 0
 """
 
 

@@ -38,12 +38,20 @@ def drive_file_list(listing: DataFrame, files: DataFrame,
     the ``next_page_token`` chain (GetFileList's pagination loop).
     Raises if a chain exceeds ``max_pages`` (a token cycle in a
     corrupted listing table must not loop forever)."""
-    frontier = listing.filter(F.col("page_token") == "").select(
-        "source", "page_token"
-    ).distinct()
+    from ..functions.barrier import reliable_ckpt
+
+    # each round is checkpointed: without a barrier, round k's isEmpty()
+    # re-derives the whole growing union from scratch (O(k²) total work
+    # and a k-deep union plan); with it every round is O(1) jobs over
+    # materialized frontiers (same pattern as connected_components)
+    frontier = reliable_ckpt(
+        listing.filter(F.col("page_token") == "").select(
+            "source", "page_token"
+        ).distinct()
+    )
     seen = frontier
     for _ in range(max_pages):
-        nxt = (
+        nxt = reliable_ckpt(
             listing.join(frontier, ["source", "page_token"])
             .filter(
                 F.col("next_page_token").isNotNull()
@@ -56,7 +64,7 @@ def drive_file_list(listing: DataFrame, files: DataFrame,
         )
         if nxt.isEmpty():
             return files.join(seen, ["source", "page_token"], "left_semi")
-        seen = seen.unionByName(nxt)
+        seen = reliable_ckpt(seen.unionByName(nxt))
         frontier = nxt
     raise RuntimeError(
         f"drive_file_list: token chain longer than {max_pages} pages — "
