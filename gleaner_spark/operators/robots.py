@@ -28,6 +28,64 @@ from pyspark.sql import DataFrame, functions as F
 from .stages import url_host
 
 
+def robots_rules(robots: DataFrame, user_agent: str = "*") -> DataFrame:
+    """Parse raw robots.txt bodies into the REP rules relation
+    ``(host, path_pattern, allow)`` consumed by :func:`robots_filter`.
+
+    ``robots``: ``(host, body)``.  REP group semantics (what the
+    reference's robots library implements when parsing the fetched
+    robots.txt, acquire/utils.go:10-39): a group is one or more
+    consecutive ``User-agent`` lines followed by its rules; a group's
+    rules apply iff one of its agent lines equals ``user_agent``
+    (default ``*``, matched case-insensitively).  Comments (``#…``) and
+    unknown directives are ignored; directive names are
+    case-insensitive.  All column expressions over config-scale bodies
+    — one window pass + one aggregation."""
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        "host",
+        F.posexplode(F.split("body", "\n")).alias("ln", "raw"),
+    ).withColumn(
+        "line", F.trim(F.regexp_replace("raw", r"#.*$", ""))
+    ).withColumn(
+        "directive",
+        F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1)),
+    ).withColumn(
+        "value", F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:\s*(.*)$", 1))
+    ).filter(F.col("directive").isin("user-agent", "allow", "disallow"))
+
+    w = Window.partitionBy("host").orderBy("ln")
+    grouped = lines.withColumn(
+        "prev_dir", F.lag("directive").over(w)
+    ).withColumn(
+        # a User-agent line STARTS a new group unless it extends a run
+        # of consecutive User-agent lines (multi-agent groups)
+        "new_group",
+        ((F.col("directive") == "user-agent")
+         & (F.coalesce(F.col("prev_dir"), F.lit(""))
+            != "user-agent")).cast("int"),
+    ).withColumn("group_id", F.sum("new_group").over(w))
+
+    matching = (
+        grouped.filter(
+            (F.col("directive") == "user-agent")
+            & (F.lower("value") == user_agent.lower())
+        )
+        .select("host", "group_id")
+        .distinct()
+    )
+    return (
+        grouped.filter(F.col("directive").isin("allow", "disallow"))
+        .join(matching, ["host", "group_id"], "left_semi")
+        .select(
+            "host",
+            F.col("value").alias("path_pattern"),
+            (F.col("directive") == "allow").alias("allow"),
+        )
+    )
+
+
 def robots_filter(pages: DataFrame, robots_dim: DataFrame) -> DataFrame:
     """Drop pages denied by their host's robots rules.
 

@@ -445,13 +445,15 @@ from events where event_id < 200
 # ---------------------------------------------------------------------------
 
 def q_robots_filter(spark, sf_dir):
-    """S2: robots REP filtering — per-host rules with Allow precedence
-    and ``*``/``$`` wildcards, longest-match-wins (the reference's
-    robots library implements full REP matching, acquire/utils.go:10-39).
-    Rules here per host: ``Disallow: /doc/1``, ``Allow: /doc/12``
-    (longer → overrides the disallow), ``Disallow: /*4$`` (wildcard +
-    end anchor: any doc id ending in 4 — unless /doc/12* re-allows)."""
-    from ..operators.robots import robots_filter
+    """S2 end-to-end: raw robots.txt BODIES → REP parser (user-agent
+    group selection, comments, case-insensitive directives) → full REP
+    matching with Allow precedence and ``*``/``$`` wildcards,
+    longest-match-wins (the reference fetches + parses robots.txt and
+    tests every URL against the matched group, acquire/utils.go:10-39).
+    The ``*`` group per host: ``Disallow: /doc/1``, ``Allow: /doc/12``
+    (longer → overrides), ``Disallow: /*4$`` (wildcard + end anchor);
+    an ``OtherBot`` group's ``Disallow: /doc/`` must NOT apply."""
+    from ..operators.robots import robots_filter, robots_rules
 
     d = _load(spark, sf_dir, "documents")
     pages = d.select(
@@ -459,23 +461,23 @@ def q_robots_filter(spark, sf_dir):
                  F.lit(".example.org/doc/"), F.col("doc_id")).alias("url"),
         "doc_id", "source",
     )
-    hosts = d.select("source").distinct().select(
-        F.concat(F.col("source"), F.lit(".example.org")).alias("host")
+    body = (
+        "# synthetic robots.txt\n"
+        "User-agent: OtherBot\n"
+        "Disallow: /doc/\n"
+        "\n"
+        "User-Agent: *\n"
+        "Disallow: /doc/1\n"
+        "Allow: /doc/12\n"
+        "disallow: /*4$  # trailing comment\n"
     )
-    rules = hosts.select(
-        "host",
-        F.explode(
-            F.array(
-                F.struct(F.lit("/doc/1").alias("path_pattern"),
-                         F.lit(False).alias("allow")),
-                F.struct(F.lit("/doc/12").alias("path_pattern"),
-                         F.lit(True).alias("allow")),
-                F.struct(F.lit("/*4$").alias("path_pattern"),
-                         F.lit(False).alias("allow")),
-            )
-        ).alias("r"),
-    ).select("host", "r.path_pattern", "r.allow")
-    return robots_filter(pages, rules).select("doc_id", "source", "url")
+    robots = d.select("source").distinct().select(
+        F.concat(F.col("source"), F.lit(".example.org")).alias("host"),
+        F.lit(body).alias("body"),
+    )
+    return robots_filter(pages, robots_rules(robots)).select(
+        "doc_id", "source", "url"
+    )
 
 
 O_ROBOTS_FILTER = """
@@ -1992,6 +1994,11 @@ def q_kg_shape_report(spark, sf_dir):
             d.filter(F.col("doc_id") % 8 != 0), person, rdf_type,
             "<https://schema.org/Person>"))
     )
+    from ..functions.barrier import reliable_ckpt
+
+    # the report evaluates one frame per (shape, constraint) — barrier
+    # the 8-way-unioned corpus so it computes once, not per frame
+    triples = reliable_ckpt(triples)
     return shape_validation_report(triples, shapes).select(
         "focus_node", "result_path", "constraint_component"
     )

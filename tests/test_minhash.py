@@ -273,3 +273,26 @@ def test_drive_file_list_cycle_terminates_and_long_chain_raises(spark):
     )
     with pytest.raises(RuntimeError, match="longer than"):
         drive_file_list(chain, files, max_pages=4)
+
+
+def test_robots_rules_parser_group_selection(spark):
+    """robots.txt body parser: multi-agent groups, case-insensitive
+    directives, comments, and group selection for the requested UA."""
+    from gleaner_spark.operators.robots import robots_rules
+
+    body = (
+        "# top comment\n"
+        "User-agent: ABot\n"
+        "User-agent: *\n"          # multi-agent group: applies to *
+        "Disallow: /a\n"
+        "ALLOW: /a/ok\n"
+        "\n"
+        "User-agent: BBot\n"
+        "Disallow: /b-only\n"      # different group: must NOT apply
+        "\n"
+        "user-agent: *\n"          # second * group: also applies
+        "Disallow: /c # inline\n"
+    )
+    robots = spark.createDataFrame([("h", body)], "host string, body string")
+    got = {(r.path_pattern, r.allow) for r in robots_rules(robots).collect()}
+    assert got == {("/a", False), ("/a/ok", True), ("/c", False)}
