@@ -40,6 +40,7 @@ class PropertyConstraint:
     class_iri: str | None = None    # sh:class — values must be instances
     pattern: str | None = None      # sh:pattern — regex every literal must match
     has_value: str | None = None    # sh:hasValue — serialized term that must occur
+    node_shape: str | None = None   # sh:node — values must conform to this shape
 
 
 @dataclass
@@ -84,8 +85,18 @@ def _unlit(obj: str):
 
 def shapes_from_triples(shape_rows) -> list[NodeShape]:
     """Parse a shapes graph from (subject, predicate, object) rows in the
-    pipeline's serialized form.  Accepts a DataFrame (collected — shapes
-    are config, not data) or an iterable of rows/tuples."""
+    pipeline's serialized form — TARGETED shapes only (the evaluation
+    entry points).  Accepts a DataFrame (collected — shapes are config,
+    not data) or an iterable of rows/tuples.  Use
+    :func:`shapes_index_from_triples` for the full index including
+    target-less shapes referenced via sh:node."""
+    return [s for s in shapes_index_from_triples(shape_rows).values()
+            if s.target_class]
+
+
+def shapes_index_from_triples(shape_rows) -> dict[str, NodeShape]:
+    """ALL NodeShapes by shape_id, including target-less ones (valid as
+    sh:node references)."""
     if isinstance(shape_rows, DataFrame):
         shape_rows = shape_rows.select("subject", "predicate", "object").collect()
     by_subj: dict[str, list[tuple[str, str]]] = {}
@@ -96,17 +107,15 @@ def shapes_from_triples(shape_rows) -> list[NodeShape]:
     def prop_of(subj: str, pred: str) -> list[str]:
         return [o for p, o in by_subj.get(subj, []) if p == pred]
 
-    shapes: list[NodeShape] = []
+    shapes: dict[str, NodeShape] = {}
     for subj, po in sorted(by_subj.items()):
         types = {o for p, o in po if p == RDF_TYPE[1:-1]}
         if f"<{SH}NodeShape>" not in types:
             continue
         targets = prop_of(subj, SH + "targetClass")
-        if not targets:
-            continue
         shape = NodeShape(
             shape_id=_unlit(subj)[1] if subj.startswith("<") else subj,
-            target_class=_unlit(targets[0])[1],
+            target_class=_unlit(targets[0])[1] if targets else "",
         )
         for pref in prop_of(subj, SH + "property"):
             c = PropertyConstraint(path="")
@@ -133,9 +142,11 @@ def shapes_from_triples(shape_rows) -> list[NodeShape]:
                     # keep the SERIALIZED term — comparison is against the
                     # object column's serialized form
                     c.has_value = obj
+                elif pred == SH + "node":
+                    c.node_shape = _unlit(obj)[1]
             if c.path:
                 shape.properties.append(c)
-        shapes.append(shape)
+        shapes[shape.shape_id] = shape
     return shapes
 
 
@@ -174,90 +185,161 @@ def _literal_body(col=None):
                             r'^"(.*)"', 1)
 
 
-def shape_conformance(triples: DataFrame, shapes: list[NodeShape]) -> DataFrame:
+def shape_conformance(
+    triples: DataFrame,
+    shapes: list[NodeShape],
+    shape_index: dict[str, NodeShape] | None = None,
+) -> DataFrame:
     """(subject, shape_id, conforms) for every target of every shape.
 
     One aggregation pass per shape over the semi-joined triples; all
     counting constraints — plus sh:pattern (no literal value may fail
     the regex) and sh:hasValue (the serialized term must occur) —
     evaluate in a single groupBy.  sh:class adds one anti-join against
-    the instance relation per constrained path.
+    the instance relation per constrained path; sh:node recursively
+    evaluates the referenced shape (resolved via ``shape_index``, see
+    :func:`shapes_index_from_triples`) over the path's VALUES as focus
+    nodes.
     """
     out: DataFrame | None = None
     for shape in shapes:
-        targets = (
-            triples.filter(
-                (F.col("predicate") == RDF_TYPE)
-                & (F.col("object") == f"<{shape.target_class}>")
-            )
-            .select("subject")
-            .distinct()
+        res = _conformance_for_targets(
+            triples, shape, _class_targets(triples, shape.target_class),
+            shape_index or {}, depth=0,
         )
-        base = triples.join(targets, "subject", "left_semi")
-        aggs = [
-            F.sum(_value_filter(c).cast("int")).alias(f"n{i}")
-            for i, c in enumerate(shape.properties)
-        ]
-        for i, c in enumerate(shape.properties):
-            on_path = F.col("predicate") == f"<{c.path}>"
-            if c.pattern is not None:
-                aggs.append(F.sum((
-                    on_path & F.col("object").startswith('"')
-                    & ~_literal_body().rlike(c.pattern)
-                ).cast("int")).alias(f"badpat{i}"))
-            if c.has_value is not None:
-                aggs.append(F.sum((
-                    on_path & (F.col("object") == c.has_value)
-                ).cast("int")).alias(f"hv{i}"))
-        per = base.groupBy("subject").agg(*aggs)
-        conforms = F.lit(True)
-        for i, c in enumerate(shape.properties):
-            conforms = conforms & (F.col(f"n{i}") >= c.min_count)
-            if c.max_count is not None:
-                conforms = conforms & (F.col(f"n{i}") <= c.max_count)
-            if c.pattern is not None:
-                conforms = conforms & (F.col(f"badpat{i}") == 0)
-            if c.has_value is not None:
-                conforms = conforms & (F.col(f"hv{i}") >= 1)
-        res = per.select(
-            "subject", F.lit(shape.shape_id).alias("shape_id"),
-            conforms.alias("conforms"),
-        )
-        # sh:class: every value of the path must be an instance of the class
-        for c in shape.properties:
-            if not c.class_iri:
-                continue
-            instances = (
-                triples.filter(
-                    (F.col("predicate") == RDF_TYPE)
-                    & (F.col("object") == f"<{c.class_iri}>")
-                )
-                .select(F.col("subject").alias("object"))
-                .distinct()
-            )
-            bad = (
-                base.filter(F.col("predicate") == f"<{c.path}>")
-                .select("subject", "object")
-                .join(instances, "object", "left_anti")
-                .select("subject")
-                .distinct()
-                .withColumn("_bad", F.lit(True))
-            )
-            res = (
-                res.join(bad, "subject", "left")
-                .select(
-                    "subject", "shape_id",
-                    (F.col("conforms") & F.col("_bad").isNull()).alias("conforms"),
-                )
-            )
         out = res if out is None else out.unionByName(res)
     if out is None:
         raise ValueError("no NodeShape with a sh:targetClass in shapes input")
     return out
 
 
-def shape_validation_report(triples: DataFrame,
-                            shapes: list[NodeShape]) -> DataFrame:
+MAX_NODE_DEPTH = 4  # sh:node reference chains deeper than this raise
+
+
+def _class_targets(triples: DataFrame, class_iri: str) -> DataFrame:
+    return (
+        triples.filter(
+            (F.col("predicate") == RDF_TYPE)
+            & (F.col("object") == f"<{class_iri}>")
+        )
+        .select("subject")
+        .distinct()
+    )
+
+
+def _conformance_for_targets(
+    triples: DataFrame,
+    shape: NodeShape,
+    targets: DataFrame,
+    shape_index: dict[str, NodeShape],
+    depth: int,
+) -> DataFrame:
+    """(subject, shape_id, conforms) of ``shape`` over an explicit focus
+    set — the shared evaluator under class-targeted conformance AND
+    sh:node value conformance (which feeds the VALUES of a path back in
+    as the focus set)."""
+    if depth > MAX_NODE_DEPTH:
+        raise ValueError(
+            f"sh:node reference chain deeper than {MAX_NODE_DEPTH} "
+            f"(at shape {shape.shape_id}) — cycle?"
+        )
+    base = triples.join(targets, "subject", "left_semi")
+    aggs = [
+        F.sum(_value_filter(c).cast("int")).alias(f"n{i}")
+        for i, c in enumerate(shape.properties)
+    ]
+    for i, c in enumerate(shape.properties):
+        on_path = F.col("predicate") == f"<{c.path}>"
+        if c.pattern is not None:
+            aggs.append(F.sum((
+                on_path & F.col("object").startswith('"')
+                & ~_literal_body().rlike(c.pattern)
+            ).cast("int")).alias(f"badpat{i}"))
+        if c.has_value is not None:
+            aggs.append(F.sum((
+                on_path & (F.col("object") == c.has_value)
+            ).cast("int")).alias(f"hv{i}"))
+    if aggs:
+        per = targets.join(
+            base.groupBy("subject").agg(*aggs), "subject", "left"
+        )
+    else:
+        per = targets
+    conforms = F.lit(True)
+    for i, c in enumerate(shape.properties):
+        cnt = F.coalesce(F.col(f"n{i}"), F.lit(0))
+        conforms = conforms & (cnt >= c.min_count)
+        if c.max_count is not None:
+            conforms = conforms & (cnt <= c.max_count)
+        if c.pattern is not None:
+            conforms = conforms & (F.coalesce(F.col(f"badpat{i}"),
+                                              F.lit(0)) == 0)
+        if c.has_value is not None:
+            conforms = conforms & (F.coalesce(F.col(f"hv{i}"),
+                                              F.lit(0)) >= 1)
+    res = per.select(
+        "subject", F.lit(shape.shape_id).alias("shape_id"),
+        conforms.alias("conforms"),
+    )
+    for c in shape.properties:
+        bads = []
+        if c.class_iri:
+            # sh:class: every value must be an instance of the class
+            instances = _class_targets(triples, c.class_iri).select(
+                F.col("subject").alias("object")
+            )
+            bads.append(
+                base.filter(F.col("predicate") == f"<{c.path}>")
+                .select("subject", "object")
+                .join(instances, "object", "left_anti")
+                .select("subject")
+                .distinct()
+            )
+        if c.node_shape:
+            # sh:node: every value must CONFORM to the referenced shape
+            # — the values become the focus set of a recursive pass
+            ref = shape_index.get(c.node_shape)
+            if ref is None:
+                raise ValueError(
+                    f"sh:node references unknown shape {c.node_shape}"
+                )
+            values = base.filter(
+                F.col("predicate") == f"<{c.path}>"
+            ).select("subject", "object")
+            focus = values.select(
+                F.col("object").alias("subject")
+            ).distinct()
+            sub = _conformance_for_targets(
+                triples, ref, focus, shape_index, depth + 1
+            )
+            bads.append(
+                values.join(
+                    sub.filter(~F.col("conforms")).select(
+                        F.col("subject").alias("object")
+                    ),
+                    "object", "left_semi",
+                )
+                .select("subject")
+                .distinct()
+            )
+        for bad in bads:
+            res = (
+                res.join(bad.withColumn("_bad", F.lit(True)),
+                         "subject", "left")
+                .select(
+                    "subject", "shape_id",
+                    (F.col("conforms")
+                     & F.col("_bad").isNull()).alias("conforms"),
+                )
+            )
+    return res
+
+
+def shape_validation_report(
+    triples: DataFrame,
+    shapes: list[NodeShape],
+    shape_index: dict[str, NodeShape] | None = None,
+) -> DataFrame:
     """SHACL-style validation REPORT: one row per violation —
     ``(focus_node, shape_id, result_path, constraint_component)`` —
     instead of the boolean roll-up of :func:`shape_conformance`.  The
@@ -267,8 +349,11 @@ def shape_validation_report(triples: DataFrame,
     downstream tool can render full sh:ValidationResult nodes.
 
     Components emitted: MinCount, MaxCount, NodeKind, Datatype, Pattern,
-    HasValue, Class.  Each is a filter/aggregate over the semi-joined
-    target triples — no per-document engine, every check distributes.
+    HasValue, Class, Node (sh:node resolved via ``shape_index``).  Each
+    is a filter/aggregate over the semi-joined target triples — no
+    per-document engine, every check distributes.  (sh:or remains
+    unsupported: it needs RDF-list parsing of constraint alternatives —
+    documented subset boundary.)
     """
     frames: list[DataFrame] = []
 
@@ -356,6 +441,27 @@ def shape_validation_report(triples: DataFrame,
                     on_path.select("subject", "object")
                     .join(instances, "object", "left_anti"),
                     shape, c.path, "Class",
+                )
+            if c.node_shape is not None:
+                ref = (shape_index or {}).get(c.node_shape)
+                if ref is None:
+                    raise ValueError(
+                        f"sh:node references unknown shape {c.node_shape}"
+                    )
+                values = on_path.select("subject", "object")
+                sub = _conformance_for_targets(
+                    triples, ref,
+                    values.select(F.col("object").alias("subject")).distinct(),
+                    shape_index or {}, depth=1,
+                )
+                _vio(
+                    values.join(
+                        sub.filter(~F.col("conforms")).select(
+                            F.col("subject").alias("object")
+                        ),
+                        "object", "left_semi",
+                    ),
+                    shape, c.path, "Node",
                 )
     if not any_shape:
         raise ValueError("no NodeShape with a sh:targetClass in shapes input")

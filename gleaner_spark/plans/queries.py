@@ -1923,16 +1923,22 @@ from d
 KG_REPORT_SHAPES_JSONLD = (
     '{"@context": {"sh": "http://www.w3.org/ns/shacl#",'
     ' "schema": "https://schema.org/"},'
-    ' "@id": "https://example.org/shapes/ReportShape",'
-    ' "@type": "sh:NodeShape",'
-    ' "sh:targetClass": {"@id": "schema:Dataset"},'
-    ' "sh:property": ['
+    ' "@graph": ['
+    ' {"@id": "https://example.org/shapes/ReportShape",'
+    '  "@type": "sh:NodeShape",'
+    '  "sh:targetClass": {"@id": "schema:Dataset"},'
+    '  "sh:property": ['
     '   {"sh:path": {"@id": "schema:name"}, "sh:minCount": 1, "sh:maxCount": 1},'
     '   {"sh:path": {"@id": "schema:url"}, "sh:nodeKind": {"@id": "sh:IRI"}},'
     '   {"sh:path": {"@id": "schema:identifier"}, "sh:pattern": "^doi:"},'
     '   {"sh:path": {"@id": "schema:license"},'
     '    "sh:hasValue": {"@id": "https://example.org/license/CC0"}},'
-    '   {"sh:path": {"@id": "schema:creator"}, "sh:class": {"@id": "schema:Person"}}]}'
+    '   {"sh:path": {"@id": "schema:creator"}, "sh:class": {"@id": "schema:Person"},'
+    '    "sh:node": {"@id": "https://example.org/shapes/PersonShape"}}]},'
+    ' {"@id": "https://example.org/shapes/PersonShape",'
+    '  "@type": "sh:NodeShape",'
+    '  "sh:property": ['
+    '   {"sh:path": {"@id": "schema:name"}, "sh:minCount": 1}]}]}'
 )
 
 
@@ -1943,17 +1949,22 @@ def q_kg_shape_report(spark, sf_dir):
     (doc_id%5==0: name missing), MaxCount (%7==0: second name),
     NodeKind (%4==0: literal url), Pattern (%6==0: identifier not
     ^doi:), HasValue (%3==0: CC0 license missing), Class (%8==0:
-    creator not Person-typed).  The shapes graph itself carries
-    sh:pattern/sh:hasValue and is parsed from milled SHACL JSON-LD —
-    the reference's stored verification-report capability
-    (shaclng.go:18-120) as one relational pass."""
+    creator not Person-typed), Node (%9==0: creator value fails the
+    referenced target-less PersonShape's name minCount).  The shapes
+    graph itself carries sh:pattern/sh:hasValue/sh:node and is parsed
+    from milled SHACL JSON-LD — the reference's stored
+    verification-report capability (shaclng.go:18-120) as one
+    relational pass."""
     from ..core.mill import mill
-    from ..operators.shacl import shape_validation_report, shapes_from_triples
+    from ..operators.shacl import (
+        shape_validation_report, shapes_index_from_triples,
+    )
 
-    shapes = shapes_from_triples(
+    idx = shapes_index_from_triples(
         [(r.subject, r.predicate, r.object)
          for r in mill(KG_REPORT_SHAPES_JSONLD, "shapes", "")]
     )
+    shapes = [s for s in idx.values() if s.target_class]
     d = _load(spark, sf_dir, "documents").filter(
         F.col("doc_id") < KG_DOC_LIMIT
     ).select("doc_id")
@@ -1993,13 +2004,17 @@ def q_kg_shape_report(spark, sf_dir):
         .unionByName(rows(
             d.filter(F.col("doc_id") % 8 != 0), person, rdf_type,
             "<https://schema.org/Person>"))
+        .unionByName(rows(
+            d.filter(F.col("doc_id") % 9 != 0), person,
+            "<https://schema.org/name>",
+            F.concat(F.lit('"Person '), did, F.lit('"'))))
     )
     from ..functions.barrier import reliable_ckpt
 
     # the report evaluates one frame per (shape, constraint) — barrier
-    # the 8-way-unioned corpus so it computes once, not per frame
+    # the 9-way-unioned corpus so it computes once, not per frame
     triples = reliable_ckpt(triples)
-    return shape_validation_report(triples, shapes).select(
+    return shape_validation_report(triples, shapes, idx).select(
         "focus_node", "result_path", "constraint_component"
     )
 
@@ -2032,6 +2047,10 @@ union all
 select f, 'https://schema.org/creator',
        'http://www.w3.org/ns/shacl#ClassConstraintComponent'
 from e where doc_id % 8 = 0
+union all
+select f, 'https://schema.org/creator',
+       'http://www.w3.org/ns/shacl#NodeConstraintComponent'
+from e where doc_id % 9 = 0
 """
 
 

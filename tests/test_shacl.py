@@ -202,3 +202,42 @@ def test_conformance_pattern_and_hasvalue(spark):
     got = {r.subject: r.conforms
            for r in shape_conformance(triples, [shape]).collect()}
     assert got == {"<s1>": True, "<s2>": False, "<s3>": False}
+
+
+def test_conformance_sh_node_recursive(spark):
+    """sh:node: values must conform to a referenced (target-less)
+    shape, evaluated recursively over the values as focus nodes."""
+    from gleaner_spark.operators.shacl import (
+        NodeShape, PropertyConstraint, shape_conformance,
+    )
+
+    t = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    rows = [
+        ("<d1>", t, "<http://ex.org/T>", "g"),
+        ("<d1>", "<http://ex.org/creator>", "<p1>", "g"),
+        ("<p1>", "<http://ex.org/name>", '"Ada"', "g"),   # conforms
+        ("<d2>", t, "<http://ex.org/T>", "g"),
+        ("<d2>", "<http://ex.org/creator>", "<p2>", "g"),  # p2: no name
+    ]
+    triples = spark.createDataFrame(
+        rows, "subject string, predicate string, object string, graph string"
+    )
+    person = NodeShape(
+        shape_id="P", target_class="",
+        properties=[PropertyConstraint(path="http://ex.org/name",
+                                       min_count=1)],
+    )
+    top = NodeShape(
+        shape_id="S", target_class="http://ex.org/T",
+        properties=[PropertyConstraint(path="http://ex.org/creator",
+                                       node_shape="P")],
+    )
+    got = {r.subject: r.conforms
+           for r in shape_conformance(triples, [top],
+                                      {"P": person}).collect()}
+    assert got == {"<d1>": True, "<d2>": False}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown shape"):
+        shape_conformance(triples, [top], {}).collect()
