@@ -1358,6 +1358,144 @@ select label, vec_id, cos_sim, rnk from (
 """
 
 
+#: trained-IVF hyperparameters — k cells, L Lloyd iterations.  Small and
+#: FIXED so the oracle can mirror the iteration chain as CTEs.
+IVF_K = 8
+IVF_ITERS = 2
+
+
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """IVF with a TRAINED coarse quantizer: deterministic k-means —
+    init = the IVF_K lowest vec_ids, then IVF_ITERS Lloyd rounds
+    (assign by rounded cosine, tie → lowest cell id; update = per-dim
+    mean) — then assign all vectors to the trained cells, probe the
+    query's 2 nearest cells, brute-force inside them.  All JVM-side:
+    per-round assignment is a broadcast cross-join against the k-row
+    centroid frame + max_by, update is posexplode + avg.  At scale the
+    trained cell id becomes the partition key and rounds stay
+    O(corpus · k) map-side work; the oracle replays the identical
+    iteration chain in SQL."""
+    from pyspark.sql import Window
+
+    from ..functions.barrier import reliable_ckpt
+
+    e = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    e = reliable_ckpt(e)  # scanned 2·ITERS+2 times across the rounds
+    cents = e.orderBy("vec_id").limit(IVF_K).select(
+        (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias(
+            "centroid"),
+    )
+
+    def assign(vectors, cents_df):
+        scored = vectors.crossJoin(F.broadcast(cents_df)).withColumn(
+            "sim", F.round(F.expr(_cosine_expr("embedding", "centroid")), 6)
+        )
+        return scored.groupBy("vec_id").agg(
+            F.max_by(
+                "cid", F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))
+            ).alias("cid"),
+            F.max_by(
+                "embedding",
+                F.struct(F.col("sim"), (-F.col("cid")).alias("nc")),
+            ).alias("embedding"),
+        )
+
+    for _ in range(IVF_ITERS):
+        assigned = assign(e, cents)
+        cents = (
+            assigned.select("cid", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cid", "dim")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .groupBy("cid")
+            .agg(F.expr(
+                "transform(array_sort(collect_list(struct(dim, m))),"
+                " x -> x.m)"
+            ).alias("centroid"))
+        )
+        cents = reliable_ckpt(cents)
+    cells = assign(e, cents)
+
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    probed = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn("cdist",
+                    F.round(F.expr(_cosine_expr("centroid", "qv")), 6))
+        .orderBy(F.desc("cdist"), F.asc("cid"))
+        .limit(2)
+        .select("cid")
+    )
+    cands = cells.join(F.broadcast(probed), "cid").filter(
+        F.col("vec_id") != 0
+    )
+    scored = cands.crossJoin(F.broadcast(q)).withColumn(
+        "cos_sim", F.round(F.expr(_cosine_expr("embedding", "qv")), 6)
+    )
+    return _ranked_topk(scored, ["cid", "vec_id", "cos_sim", "rnk"], k=10)
+
+
+def _ivf_cos_sql(a: str, b: str) -> str:
+    return (f"round(list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b}))), 6)")
+
+
+def _ivf_assign_sql(cents: str, out: str) -> str:
+    return f"""
+{out} as (
+  select vec_id, ev, cid from (
+    select e.vec_id, e.ev, c.cid,
+           row_number() over (partition by e.vec_id
+             order by {_ivf_cos_sql('e.ev', 'c.centroid')} desc, c.cid asc) as rn
+    from ev e cross join {cents} c
+  ) where rn = 1
+)"""
+
+
+def _ivf_update_sql(assigned: str, out: str) -> str:
+    return f"""
+{out} as (
+  select cid, list(m order by dim) as centroid from (
+    select cid, dim, avg(v) as m from (
+      select cid, unnest(ev) as v, generate_subscripts(ev, 1) as dim
+      from {assigned}
+    ) group by cid, dim
+  ) group by cid
+)"""
+
+
+O_ANN_IVF_KMEANS = f"""
+with ev as (select vec_id, embedding::DOUBLE[] as ev from embeddings),
+c0 as (
+  select row_number() over (order by vec_id) - 1 as cid, ev as centroid
+  from ev order by vec_id limit {IVF_K}
+),
+{_ivf_assign_sql('c0', 'a1')},
+{_ivf_update_sql('a1', 'c1')},
+{_ivf_assign_sql('c1', 'a2')},
+{_ivf_update_sql('a2', 'c2')},
+{_ivf_assign_sql('c2', 'cells')},
+q as (select ev as qv from ev where vec_id = 0),
+probed as (
+  select cid from c2, q
+  order by {_ivf_cos_sql('centroid', 'qv')} desc, cid asc limit 2
+),
+scored as (
+  select cells.cid, cells.vec_id,
+         {_ivf_cos_sql('cells.ev', 'q.qv')} as cos_sim
+  from cells join probed using (cid), q
+  where cells.vec_id <> 0
+)
+select cid, vec_id, cos_sim, rnk from (
+  select cid, vec_id, cos_sim,
+         row_number() over (order by cos_sim desc, vec_id asc) as rnk
+  from scored
+) where rnk <= 10
+"""
+
+
 def q_ann_multiprobe(spark, sf_dir):
     """Multi-probe sign-LSH ANN: every vector hashes to ONE 8-bit sign
     bucket; the query probes its own bucket plus all 8 Hamming-1
@@ -2580,6 +2718,7 @@ QUERIES: dict[str, tuple] = {
     "ann_multiprobe": (q_ann_multiprobe, O_ANN_MULTIPROBE),
     "embedding_centroids": (q_embedding_centroids, O_CENTROIDS),
     "ann_ivf_probe": (q_ann_ivf_probe, O_ANN_IVF),
+    "ann_ivf_kmeans": (q_ann_ivf_kmeans, O_ANN_IVF_KMEANS),
     # KG pipeline end-to-end
     "kg_extract_mill": (q_kg_extract_mill, O_KG_EXTRACT_MILL),
     "kg_js_inline_recover": (q_kg_js_inline_recover, O_KG_JS_RECOVER),
