@@ -41,6 +41,10 @@ class PropertyConstraint:
     pattern: str | None = None      # sh:pattern — regex every literal must match
     has_value: str | None = None    # sh:hasValue — serialized term that must occur
     node_shape: str | None = None   # sh:node — values must conform to this shape
+    #: sh:or — each value must satisfy ≥1 alternative; alternatives are
+    #: VALUE-level constraints (nodeKind/datatype/pattern) — the set
+    #: form our mill emits for SHACL JSON-LD arrays
+    or_alternatives: list["PropertyConstraint"] = field(default_factory=list)
 
 
 @dataclass
@@ -117,37 +121,94 @@ def shapes_index_from_triples(shape_rows) -> dict[str, NodeShape]:
             shape_id=_unlit(subj)[1] if subj.startswith("<") else subj,
             target_class=_unlit(targets[0])[1] if targets else "",
         )
+        def fill(c: PropertyConstraint, pred: str, obj: str) -> None:
+            kind, val, _dt = _unlit(obj)
+            if pred == SH + "path":
+                c.path = val
+            elif pred == SH + "minCount":
+                c.min_count = int(val)
+            elif pred == SH + "maxCount":
+                c.max_count = int(val)
+            elif pred == SH + "nodeKind":
+                c.node_kind = val.rsplit("#", 1)[-1]
+            elif pred == SH + "datatype":
+                c.datatype = val
+            elif pred == SH + "class":
+                c.class_iri = val
+            elif pred == SH + "pattern":
+                # the milled literal body keeps n-quads escaping —
+                # a regex like ^\d+$ serializes as ^\\d+$ and must
+                # be unescaped or rlike sees a literal backslash
+                c.pattern = _unescape_nt(val)
+            elif pred == SH + "hasValue":
+                # keep the SERIALIZED term — comparison is against the
+                # object column's serialized form
+                c.has_value = obj
+            elif pred == SH + "node":
+                c.node_shape = _unlit(obj)[1]
+
         for pref in prop_of(subj, SH + "property"):
             c = PropertyConstraint(path="")
             for pred, obj in by_subj.get(pref, []):
-                kind, val, _dt = _unlit(obj)
-                if pred == SH + "path":
-                    c.path = val
-                elif pred == SH + "minCount":
-                    c.min_count = int(val)
-                elif pred == SH + "maxCount":
-                    c.max_count = int(val)
-                elif pred == SH + "nodeKind":
-                    c.node_kind = val.rsplit("#", 1)[-1]
-                elif pred == SH + "datatype":
-                    c.datatype = val
-                elif pred == SH + "class":
-                    c.class_iri = val
-                elif pred == SH + "pattern":
-                    # the milled literal body keeps n-quads escaping —
-                    # a regex like ^\d+$ serializes as ^\\d+$ and must
-                    # be unescaped or rlike sees a literal backslash
-                    c.pattern = _unescape_nt(val)
-                elif pred == SH + "hasValue":
-                    # keep the SERIALIZED term — comparison is against the
-                    # object column's serialized form
-                    c.has_value = obj
-                elif pred == SH + "node":
-                    c.node_shape = _unlit(obj)[1]
+                if pred == SH + "or":
+                    # value-level disjunction: each sh:or edge points at
+                    # one alternative constraint node (the set form our
+                    # mill emits for JSON arrays); alternatives may use
+                    # nodeKind/datatype/pattern
+                    alt = PropertyConstraint(path="")
+                    for apred, aobj in by_subj.get(obj, []):
+                        fill(alt, apred, aobj)
+                    if alt.min_count or alt.max_count is not None \
+                            or alt.class_iri or alt.node_shape \
+                            or alt.has_value:
+                        raise ValueError(
+                            "sh:or alternatives support only value-level "
+                            "constraints (nodeKind/datatype/pattern)"
+                        )
+                    c.or_alternatives.append(alt)
+                else:
+                    fill(c, pred, obj)
             if c.path:
+                # deterministic alternative order regardless of triple order
+                c.or_alternatives.sort(key=lambda a: (
+                    a.node_kind or "", a.datatype or "", a.pattern or ""))
                 shape.properties.append(c)
         shapes[shape.shape_id] = shape
     return shapes
+
+
+def _alt_value_ok(c: PropertyConstraint):
+    """Value-level predicate of ONE sh:or alternative over the serialized
+    object column (no path condition)."""
+    ok = F.lit(True)
+    if c.node_kind == "IRI":
+        ok &= F.col("object").startswith("<")
+    elif c.node_kind == "Literal":
+        ok &= F.col("object").startswith('"')
+    elif c.node_kind == "BlankNode":
+        ok &= F.col("object").startswith("_:")
+    if c.datatype:
+        if c.datatype == XSD_STRING:
+            ok &= (
+                F.col("object").startswith('"')
+                & ~F.col("object").rlike(r"\^\^<[^>]*>$")
+                & ~F.col("object").rlike(r'"@[A-Za-z][A-Za-z0-9-]*$')
+            )
+        else:
+            ok &= F.col("object").endswith(f"^^<{c.datatype}>")
+    if c.pattern is not None:
+        ok &= F.col("object").startswith('"') & _literal_body().rlike(
+            c.pattern
+        )
+    return ok
+
+
+def _or_fails(c: PropertyConstraint):
+    """Column predicate: a value row fails EVERY sh:or alternative."""
+    fails = F.lit(True)
+    for alt in c.or_alternatives:
+        fails &= ~_alt_value_ok(alt)
+    return fails
 
 
 def _value_filter(c: PropertyConstraint):
@@ -259,6 +320,10 @@ def _conformance_for_targets(
             aggs.append(F.sum((
                 on_path & (F.col("object") == c.has_value)
             ).cast("int")).alias(f"hv{i}"))
+        if c.or_alternatives:
+            aggs.append(F.sum((
+                on_path & _or_fails(c)
+            ).cast("int")).alias(f"orbad{i}"))
     if aggs:
         per = targets.join(
             base.groupBy("subject").agg(*aggs), "subject", "left"
@@ -277,6 +342,9 @@ def _conformance_for_targets(
         if c.has_value is not None:
             conforms = conforms & (F.coalesce(F.col(f"hv{i}"),
                                               F.lit(0)) >= 1)
+        if c.or_alternatives:
+            conforms = conforms & (F.coalesce(F.col(f"orbad{i}"),
+                                              F.lit(0)) == 0)
     res = per.select(
         "subject", F.lit(shape.shape_id).alias("shape_id"),
         conforms.alias("conforms"),
@@ -349,11 +417,10 @@ def shape_validation_report(
     downstream tool can render full sh:ValidationResult nodes.
 
     Components emitted: MinCount, MaxCount, NodeKind, Datatype, Pattern,
-    HasValue, Class, Node (sh:node resolved via ``shape_index``).  Each
-    is a filter/aggregate over the semi-joined target triples — no
-    per-document engine, every check distributes.  (sh:or remains
-    unsupported: it needs RDF-list parsing of constraint alternatives —
-    documented subset boundary.)
+    HasValue, Class, Node (sh:node resolved via ``shape_index``), Or
+    (value-level alternatives).  Each is a filter/aggregate over the
+    semi-joined target triples — no per-document engine, every check
+    distributes.
     """
     frames: list[DataFrame] = []
 
@@ -428,6 +495,8 @@ def shape_validation_report(
                 ).select("subject")
                 _vio(targets.join(holders, "subject", "left_anti"),
                      shape, c.path, "HasValue")
+            if c.or_alternatives:
+                _vio(on_path.filter(_or_fails(c)), shape, c.path, "Or")
             if c.class_iri is not None:
                 instances = (
                     triples.filter(

@@ -2072,7 +2072,9 @@ KG_REPORT_SHAPES_JSONLD = (
     '   {"sh:path": {"@id": "schema:license"},'
     '    "sh:hasValue": {"@id": "https://example.org/license/CC0"}},'
     '   {"sh:path": {"@id": "schema:creator"}, "sh:class": {"@id": "schema:Person"},'
-    '    "sh:node": {"@id": "https://example.org/shapes/PersonShape"}}]},'
+    '    "sh:node": {"@id": "https://example.org/shapes/PersonShape"}},'
+    '   {"sh:path": {"@id": "schema:ref"}, "sh:or": ['
+    '     {"sh:nodeKind": {"@id": "sh:IRI"}}, {"sh:pattern": "^ok:"}]}]},'
     ' {"@id": "https://example.org/shapes/PersonShape",'
     '  "@type": "sh:NodeShape",'
     '  "sh:property": ['
@@ -2088,8 +2090,9 @@ def q_kg_shape_report(spark, sf_dir):
     NodeKind (%4==0: literal url), Pattern (%6==0: identifier not
     ^doi:), HasValue (%3==0: CC0 license missing), Class (%8==0:
     creator not Person-typed), Node (%9==0: creator value fails the
-    referenced target-less PersonShape's name minCount).  The shapes
-    graph itself carries sh:pattern/sh:hasValue/sh:node and is parsed
+    referenced target-less PersonShape's name minCount), Or (%11==0:
+    ref value neither an IRI nor an ok:-literal).  The shapes graph
+    itself carries sh:pattern/sh:hasValue/sh:node/sh:or and is parsed
     from milled SHACL JSON-LD — the reference's stored
     verification-report capability (shaclng.go:18-120) as one
     relational pass."""
@@ -2146,6 +2149,14 @@ def q_kg_shape_report(spark, sf_dir):
             d.filter(F.col("doc_id") % 9 != 0), person,
             "<https://schema.org/name>",
             F.concat(F.lit('"Person '), did, F.lit('"'))))
+        .unionByName(rows(
+            d, s, "<https://schema.org/ref>",
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.concat(F.lit('"nope-'), did, F.lit('"')))
+            .when(F.col("doc_id") % 2 == 0,
+                  F.concat(F.lit("<https://ref.example.org/"), did,
+                           F.lit(">")))
+            .otherwise(F.concat(F.lit('"ok:'), did, F.lit('"')))))
     )
     from ..functions.barrier import reliable_ckpt
 
@@ -2189,6 +2200,10 @@ union all
 select f, 'https://schema.org/creator',
        'http://www.w3.org/ns/shacl#NodeConstraintComponent'
 from e where doc_id % 9 = 0
+union all
+select f, 'https://schema.org/ref',
+       'http://www.w3.org/ns/shacl#OrConstraintComponent'
+from e where doc_id % 11 = 0
 """
 
 

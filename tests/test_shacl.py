@@ -241,3 +241,37 @@ def test_conformance_sh_node_recursive(spark):
 
     with pytest.raises(ValueError, match="unknown shape"):
         shape_conformance(triples, [top], {}).collect()
+
+
+def test_conformance_sh_or_value_alternatives(spark):
+    """sh:or: each value must satisfy at least one alternative
+    (nodeKind IRI OR pattern ^ok:)."""
+    from gleaner_spark.operators.shacl import (
+        NodeShape, PropertyConstraint, shape_conformance,
+    )
+
+    t = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    rows = [
+        ("<d1>", t, "<http://ex.org/T>", "g"),
+        ("<d1>", "<http://ex.org/ref>", "<http://ref/1>", "g"),   # IRI ok
+        ("<d2>", t, "<http://ex.org/T>", "g"),
+        ("<d2>", "<http://ex.org/ref>", '"ok:2"', "g"),            # pat ok
+        ("<d3>", t, "<http://ex.org/T>", "g"),
+        ("<d3>", "<http://ex.org/ref>", '"nope"', "g"),            # fails both
+    ]
+    triples = spark.createDataFrame(
+        rows, "subject string, predicate string, object string, graph string"
+    )
+    shape = NodeShape(
+        shape_id="S", target_class="http://ex.org/T",
+        properties=[PropertyConstraint(
+            path="http://ex.org/ref",
+            or_alternatives=[
+                PropertyConstraint(path="", node_kind="IRI"),
+                PropertyConstraint(path="", pattern="^ok:"),
+            ],
+        )],
+    )
+    got = {r.subject: r.conforms
+           for r in shape_conformance(triples, [shape]).collect()}
+    assert got == {"<d1>": True, "<d2>": True, "<d3>": False}
