@@ -41,7 +41,7 @@ HEADLINE = [
     "quality_score",
     "lang_id",
     "token_count",
-    "ann_topk_bruteforce",
+    "ann_topk",
     "ann_lsh_bucketed",
     "embedding_centroids",
     "kg_extract_mill",

@@ -1121,6 +1121,42 @@ def q_ann_topk_vectorized(spark, sf_dir):
     return _ranked_topk(scored, ["vec_id", "cos_sim", "rnk"], k=10)
 
 
+def q_ann_topk(spark, sf_dir):
+    """Both ANN-baseline scorers — HOF/codegen brute force and the
+    Arrow/NumPy BLAS path — gated as ONE registry row (the driver's
+    correctness gate caps at 50 rows; round-3 VERDICT #1), tagged by an
+    ``impl`` column.  A divergence in either path breaks the value hash,
+    so both implementations stay oracle-verified."""
+    bf = q_ann_topk_bruteforce(spark, sf_dir).withColumn(
+        "impl", F.lit("bruteforce")
+    )
+    vec = q_ann_topk_vectorized(spark, sf_dir).withColumn(
+        "impl", F.lit("vectorized")
+    )
+    return bf.unionByName(vec).select("impl", "vec_id", "cos_sim", "rnk")
+
+
+O_ANN_TOPK_BOTH = """
+with q as (select embedding::DOUBLE[] as qv from embeddings where vec_id = 0),
+scored as (
+  select vec_id,
+         round(list_dot_product(embedding::DOUBLE[], qv)
+               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qv, qv))), 6) as cos_sim
+  from embeddings, q where vec_id <> 0
+),
+topk as (
+  select vec_id, cos_sim, rnk from (
+    select vec_id, cos_sim,
+           row_number() over (order by cos_sim desc, vec_id asc) as rnk
+    from scored
+  ) where rnk <= 10
+)
+select impl, vec_id, cos_sim, rnk
+from topk cross join (values ('bruteforce'), ('vectorized')) impls(impl)
+"""
+
+
 #: Sign-LSH bucket-size cap.  8 sign bits give only 256 buckets, so at
 #: 10^12 vectors every bucket is ~4×10⁹ rows and the within-bucket
 #: self-join goes quadratic; capping (identically in the oracles) keeps
@@ -2453,6 +2489,34 @@ def q_multimodal_frames(spark, sf_dir):
     return sample_frames(media, every_ms=1000, max_frames=8)
 
 
+def q_multimodal_decode_frames(spark, sf_dir):
+    """The two codec-bound stub paths (image decode-features + video
+    frame sampling) gated as ONE rows-only registry row (the driver's
+    gate caps at 50; round-3 VERDICT #1), harmonized to a stable
+    schema tagged by ``kind``.  Both remain pytest-covered
+    individually; no SQL oracle because the stub codecs are iterated
+    hashes, not portable SQL."""
+    dec = q_multimodal_decode(spark, sf_dir).select(
+        "payload_id",
+        F.lit("decode").alias("kind"),
+        F.col("width").cast("long").alias("i1"),
+        F.col("height").cast("long").alias("i2"),
+        F.col("n_pixels").cast("long").alias("i3"),
+        F.concat_ws(
+            ":", F.col("mime"), F.round(F.col("mean_luma"), 6).cast("string")
+        ).alias("detail"),
+    )
+    frm = q_multimodal_frames(spark, sf_dir).select(
+        "payload_id",
+        F.lit("frame").alias("kind"),
+        F.col("frame_idx").cast("long").alias("i1"),
+        F.col("frame_ts_ms").cast("long").alias("i2"),
+        F.lit(0).cast("long").alias("i3"),
+        F.col("frame_md5").alias("detail"),
+    )
+    return dec.unionByName(frm)
+
+
 # ---------------------------------------------------------------------------
 # streaming (structured-streaming over the events table)
 # ---------------------------------------------------------------------------
@@ -2726,9 +2790,9 @@ QUERIES: dict[str, tuple] = {
     "dedup_simhash": (q_dedup_simhash, O_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, O_SIMHASH_PAIRS),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, O_DEDUP_EMB_COS),
+    "winnow_fingerprint": (q_winnow_fingerprint, O_WINNOW),
     # similarity search
-    "ann_topk_bruteforce": (q_ann_topk_bruteforce, O_ANN_TOPK),
-    "ann_topk_vectorized": (q_ann_topk_vectorized, O_ANN_TOPK),
+    "ann_topk": (q_ann_topk, O_ANN_TOPK_BOTH),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, O_ANN_LSH),
     "ann_multiprobe": (q_ann_multiprobe, O_ANN_MULTIPROBE),
     "embedding_centroids": (q_embedding_centroids, O_CENTROIDS),
@@ -2747,10 +2811,12 @@ QUERIES: dict[str, tuple] = {
     "entity_cc": (q_entity_cc, O_ENTITY_CC),
     # multimodal metadata + streaming + non-SQL ops
     "multimodal_meta": (q_multimodal_meta, O_MULTIMODAL_META),
-    "multimodal_decode": (q_multimodal_decode, None),
-    "multimodal_frames": (q_multimodal_frames, None),
     "streaming_event_counts": (q_streaming_event_counts, O_STREAMING),
     "streaming_sessionize": (q_streaming_sessionize, O_STREAMING_SESSIONIZE),
     "streaming_incremental_kg": (q_streaming_incremental_kg, O_STREAM_KG),
-    "winnow_fingerprint": (q_winnow_fingerprint, O_WINNOW),
+    # rows-only (codec-bound stubs) last: the driver's correctness gate
+    # caps at 50 rows (r3 evidence: registry had 52, gate wrote exactly
+    # the first 50 in registry order) — if anything ever falls off the
+    # end again it must be the weakest check, not an oracle-gated one.
+    "multimodal_decode_frames": (q_multimodal_decode_frames, None),
 }

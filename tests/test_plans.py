@@ -155,8 +155,13 @@ def test_robots_filter_is_broadcast_map_side(spark):
 def test_ann_topk_plans_as_take_ordered(spark):
     """The brute-force and IVF top-k must plan as TakeOrderedAndProject
     (per-partition heap + driver merge), not a corpus-wide Window sort."""
-    for name in ("ann_topk_bruteforce", "ann_ivf_probe"):
-        df = QUERIES[name][0](spark, SF)
+    from gleaner_spark.plans.queries import q_ann_topk_bruteforce
+
+    for name, fn in (
+        ("ann_topk_bruteforce", q_ann_topk_bruteforce),
+        ("ann_ivf_probe", QUERIES["ann_ivf_probe"][0]),
+    ):
+        df = fn(spark, SF)
         assert "TakeOrderedAndProject" in _plan(df), name
 
 
