@@ -26,7 +26,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, functions as F
 
 SH = "http://www.w3.org/ns/shacl#"
-RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDF_TYPE = f"<{RDF_NS}type>"
 XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 
 
@@ -38,7 +39,9 @@ class PropertyConstraint:
     node_kind: str | None = None    # 'IRI' | 'Literal' | 'BlankNode'
     datatype: str | None = None     # literal datatype IRI
     class_iri: str | None = None    # sh:class — values must be instances
-    pattern: str | None = None      # sh:pattern — regex every literal must match
+    #: sh:pattern — regex str(value) must match: unescaped lexical form
+    #: for literals, IRI text for IRIs; blank nodes always violate
+    pattern: str | None = None
     has_value: str | None = None    # sh:hasValue — serialized term that must occur
     node_shape: str | None = None   # sh:node — values must conform to this shape
     #: sh:or — each value must satisfy ≥1 alternative; alternatives are
@@ -85,6 +88,34 @@ def _unlit(obj: str):
             return "literal", body, suffix[3:-1]
         return "literal", body, XSD_STRING
     return "other", obj, None
+
+
+def _rdf_list_nodes(head: str, by_subj: dict) -> list[str] | None:
+    """If ``head`` is an RDF collection node (has rdf:first), return its
+    member objects in list order; ``None`` when it isn't a list (the set
+    form).  Malformed chains (rdf:rest missing or repeated nodes) raise
+    rather than fail open."""
+    first_p, rest_p, nil = RDF_NS + "first", RDF_NS + "rest", f"<{RDF_NS}nil>"
+    if not any(p == first_p for p, _ in by_subj.get(head, [])):
+        return None
+    members: list[str] = []
+    seen: set[str] = set()
+    node = head
+    while node != nil:
+        if node in seen:
+            raise ValueError(f"cyclic RDF list at {node}")
+        seen.add(node)
+        po = by_subj.get(node, [])
+        firsts = [o for p, o in po if p == first_p]
+        rests = [o for p, o in po if p == rest_p]
+        if len(firsts) != 1 or len(rests) != 1:
+            raise ValueError(
+                f"malformed RDF list node {node}: "
+                f"{len(firsts)} rdf:first / {len(rests)} rdf:rest"
+            )
+        members.append(firsts[0])
+        node = rests[0]
+    return members
 
 
 def shapes_from_triples(shape_rows) -> list[NodeShape]:
@@ -151,21 +182,38 @@ def shapes_index_from_triples(shape_rows) -> dict[str, NodeShape]:
             c = PropertyConstraint(path="")
             for pred, obj in by_subj.get(pref, []):
                 if pred == SH + "or":
-                    # value-level disjunction: each sh:or edge points at
-                    # one alternative constraint node (the set form our
-                    # mill emits for JSON arrays); alternatives may use
-                    # nodeKind/datatype/pattern
-                    alt = PropertyConstraint(path="")
-                    for apred, aobj in by_subj.get(obj, []):
-                        fill(alt, apred, aobj)
-                    if alt.min_count or alt.max_count is not None \
-                            or alt.class_iri or alt.node_shape \
-                            or alt.has_value:
-                        raise ValueError(
-                            "sh:or alternatives support only value-level "
-                            "constraints (nodeKind/datatype/pattern)"
-                        )
-                    c.or_alternatives.append(alt)
+                    # value-level disjunction.  Two serialized forms:
+                    # spec SHACL makes the sh:or object an RDF list
+                    # (rdf:first/rdf:rest chain); our mill's JSON-LD
+                    # array emission yields one sh:or edge per
+                    # alternative (set form).  Accept both — a
+                    # list-form object is detected by rdf:first on the
+                    # node (round-3 ADVICE: silently treating the list
+                    # head as ONE constraint-less alternative made the
+                    # constraint accept everything).
+                    for anode in _rdf_list_nodes(obj, by_subj) or [obj]:
+                        alt = PropertyConstraint(path="")
+                        for apred, aobj in by_subj.get(anode, []):
+                            fill(alt, apred, aobj)
+                        if alt.min_count or alt.max_count is not None \
+                                or alt.class_iri or alt.node_shape \
+                                or alt.has_value:
+                            raise ValueError(
+                                "sh:or alternatives support only "
+                                "value-level constraints "
+                                "(nodeKind/datatype/pattern)"
+                            )
+                        if not (alt.node_kind or alt.datatype
+                                or alt.pattern is not None):
+                            # fail-open guard: an alternative with no
+                            # recognized constraint would evaluate to
+                            # always-true and silently accept every
+                            # value
+                            raise ValueError(
+                                f"sh:or alternative {anode} carries no "
+                                "recognized value-level constraint"
+                            )
+                        c.or_alternatives.append(alt)
                 else:
                     fill(c, pred, obj)
             if c.path:
@@ -177,29 +225,56 @@ def shapes_index_from_triples(shape_rows) -> dict[str, NodeShape]:
     return shapes
 
 
+def _kind_ok(node_kind: str):
+    """Serialized-form test for one sh:nodeKind value."""
+    return {
+        "IRI": F.col("object").startswith("<"),
+        "Literal": F.col("object").startswith('"'),
+        "BlankNode": F.col("object").startswith("_:"),
+    }[node_kind]
+
+
+def _dt_ok(datatype: str):
+    """Serialized-form test for one sh:datatype value."""
+    if datatype == XSD_STRING:
+        # plain literals serialize without the ^^ suffix — but a
+        # language-tagged literal ("x"@en) has datatype rdf:langString,
+        # NOT xsd:string (RDF 1.1 §3.3), so the trailing @lang form is
+        # excluded too (round-2 ADVICE)
+        return (
+            F.col("object").startswith('"')
+            & ~F.col("object").rlike(r"\^\^<[^>]*>$")
+            & ~F.col("object").rlike(r'"@[A-Za-z][A-Za-z0-9-]*$')
+        )
+    return F.col("object").endswith(f"^^<{datatype}>")
+
+
+def _pattern_ok(pattern: str):
+    """sh:pattern over str(value) per SHACL §4.4.3: the UNESCAPED
+    lexical form for literals (a value containing a real newline/tab/
+    quote/backslash serializes escaped, and the regex must see the
+    actual character — round-3 ADVICE), the IRI text for IRIs, and
+    blank nodes always fail (they have no string representation)."""
+    return (
+        F.when(F.col("object").startswith("_:"), F.lit(False))
+        .when(
+            F.col("object").startswith("<"),
+            F.regexp_extract("object", r"^<(.*)>$", 1).rlike(pattern),
+        )
+        .otherwise(_nt_unescape_expr(_literal_body()).rlike(pattern))
+    )
+
+
 def _alt_value_ok(c: PropertyConstraint):
     """Value-level predicate of ONE sh:or alternative over the serialized
     object column (no path condition)."""
     ok = F.lit(True)
-    if c.node_kind == "IRI":
-        ok &= F.col("object").startswith("<")
-    elif c.node_kind == "Literal":
-        ok &= F.col("object").startswith('"')
-    elif c.node_kind == "BlankNode":
-        ok &= F.col("object").startswith("_:")
+    if c.node_kind:
+        ok &= _kind_ok(c.node_kind)
     if c.datatype:
-        if c.datatype == XSD_STRING:
-            ok &= (
-                F.col("object").startswith('"')
-                & ~F.col("object").rlike(r"\^\^<[^>]*>$")
-                & ~F.col("object").rlike(r'"@[A-Za-z][A-Za-z0-9-]*$')
-            )
-        else:
-            ok &= F.col("object").endswith(f"^^<{c.datatype}>")
+        ok &= _dt_ok(c.datatype)
     if c.pattern is not None:
-        ok &= F.col("object").startswith('"') & _literal_body().rlike(
-            c.pattern
-        )
+        ok &= _pattern_ok(c.pattern)
     return ok
 
 
@@ -215,35 +290,40 @@ def _value_filter(c: PropertyConstraint):
     """Column predicate: does a (predicate, object) row count toward
     constraint ``c``?  Works on the serialized term forms."""
     ok = F.col("predicate") == f"<{c.path}>"
-    if c.node_kind == "IRI":
-        ok &= F.col("object").startswith("<")
-    elif c.node_kind == "Literal":
-        ok &= F.col("object").startswith('"')
-    elif c.node_kind == "BlankNode":
-        ok &= F.col("object").startswith("_:")
+    if c.node_kind:
+        ok &= _kind_ok(c.node_kind)
     if c.datatype:
-        if c.datatype == XSD_STRING:
-            # plain literals serialize without the ^^ suffix — but a
-            # language-tagged literal ("x"@en) has datatype rdf:langString,
-            # NOT xsd:string (RDF 1.1 §3.3), so the trailing @lang form is
-            # excluded too (round-2 ADVICE)
-            ok &= (
-                F.col("object").startswith('"')
-                & ~F.col("object").rlike(r"\^\^<[^>]*>$")
-                & ~F.col("object").rlike(r'"@[A-Za-z][A-Za-z0-9-]*$')
-            )
-        else:
-            ok &= F.col("object").endswith(f"^^<{c.datatype}>")
+        ok &= _dt_ok(c.datatype)
     return ok
 
 
 def _literal_body(col=None):
-    """Lexical form of a serialized literal: the text between the opening
-    quote and the LAST closing quote (escaped quotes inside the body stay
-    escaped — fine for matching, patterns see the same escaping on both
-    engines)."""
+    """Serialized lexical form of a literal: the text between the
+    opening quote and the LAST closing quote (n-quads escapes still in
+    place — feed through :func:`_nt_unescape_expr` to compare against
+    the actual value characters)."""
     return F.regexp_extract(col if col is not None else F.col("object"),
                             r'^"(.*)"', 1)
+
+
+#: sentinel for the two-character ``\\`` sequence while decoding the
+#: single-character escapes — NUL can never appear in serialized n-quads
+#: (the serializer would have escaped the source text first)
+_UNESC_SENTINEL = "\x00"
+
+
+def _nt_unescape_expr(col):
+    """Column-expression inverse of the n-quads literal escaping
+    (``\\\\ \\" \\n \\r \\t`` — core/jsonld._ESCAPES): protect ``\\\\``
+    with a sentinel so ``\\n`` after a protected backslash stays the
+    two characters backslash+n, decode the single escapes, then restore
+    the backslashes.  Pure JVM-side regexp_replace chain — no UDF."""
+    s = F.regexp_replace(col, r"\\\\", _UNESC_SENTINEL)
+    s = F.regexp_replace(s, r"\\n", "\n")
+    s = F.regexp_replace(s, r"\\r", "\r")
+    s = F.regexp_replace(s, r"\\t", "\t")
+    s = F.regexp_replace(s, r"\\\"", '"')
+    return F.regexp_replace(s, _UNESC_SENTINEL, "\\\\")
 
 
 def shape_conformance(
@@ -311,10 +391,21 @@ def _conformance_for_targets(
     ]
     for i, c in enumerate(shape.properties):
         on_path = F.col("predicate") == f"<{c.path}>"
+        if c.node_kind is not None:
+            # per-VALUE violation count: one wrong-kind value must fail
+            # the focus node even when enough conforming siblings
+            # satisfy min_count — keeps conformance consistent with the
+            # validation report (round-3 ADVICE)
+            aggs.append(F.sum((
+                on_path & ~_kind_ok(c.node_kind)
+            ).cast("int")).alias(f"badkind{i}"))
+        if c.datatype is not None:
+            aggs.append(F.sum((
+                on_path & ~_dt_ok(c.datatype)
+            ).cast("int")).alias(f"baddt{i}"))
         if c.pattern is not None:
             aggs.append(F.sum((
-                on_path & F.col("object").startswith('"')
-                & ~_literal_body().rlike(c.pattern)
+                on_path & ~_pattern_ok(c.pattern)
             ).cast("int")).alias(f"badpat{i}"))
         if c.has_value is not None:
             aggs.append(F.sum((
@@ -336,6 +427,12 @@ def _conformance_for_targets(
         conforms = conforms & (cnt >= c.min_count)
         if c.max_count is not None:
             conforms = conforms & (cnt <= c.max_count)
+        if c.node_kind is not None:
+            conforms = conforms & (F.coalesce(F.col(f"badkind{i}"),
+                                              F.lit(0)) == 0)
+        if c.datatype is not None:
+            conforms = conforms & (F.coalesce(F.col(f"baddt{i}"),
+                                              F.lit(0)) == 0)
         if c.pattern is not None:
             conforms = conforms & (F.coalesce(F.col(f"badpat{i}"),
                                               F.lit(0)) == 0)
@@ -465,30 +562,14 @@ def shape_validation_report(
                 _vio(counted.filter(cnt > c.max_count), shape, c.path,
                      "MaxCount")
             if c.node_kind is not None:
-                kind_ok = {
-                    "IRI": F.col("object").startswith("<"),
-                    "Literal": F.col("object").startswith('"'),
-                    "BlankNode": F.col("object").startswith("_:"),
-                }[c.node_kind]
-                _vio(on_path.filter(~kind_ok), shape, c.path, "NodeKind")
+                _vio(on_path.filter(~_kind_ok(c.node_kind)), shape, c.path,
+                     "NodeKind")
             if c.datatype is not None:
-                if c.datatype == XSD_STRING:
-                    dt_ok = (
-                        F.col("object").startswith('"')
-                        & ~F.col("object").rlike(r"\^\^<[^>]*>$")
-                        & ~F.col("object").rlike(r'"@[A-Za-z][A-Za-z0-9-]*$')
-                    )
-                else:
-                    dt_ok = F.col("object").endswith(f"^^<{c.datatype}>")
-                _vio(on_path.filter(~dt_ok), shape, c.path, "Datatype")
+                _vio(on_path.filter(~_dt_ok(c.datatype)), shape, c.path,
+                     "Datatype")
             if c.pattern is not None:
-                _vio(
-                    on_path.filter(
-                        F.col("object").startswith('"')
-                        & ~_literal_body().rlike(c.pattern)
-                    ),
-                    shape, c.path, "Pattern",
-                )
+                _vio(on_path.filter(~_pattern_ok(c.pattern)), shape, c.path,
+                     "Pattern")
             if c.has_value is not None:
                 holders = on_path.filter(
                     F.col("object") == c.has_value

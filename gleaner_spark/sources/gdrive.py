@@ -50,7 +50,11 @@ def drive_file_list(listing: DataFrame, files: DataFrame,
         ).distinct()
     )
     seen = frontier
-    for _ in range(max_pages):
+    # max_pages + 1 iterations: a legitimate acyclic chain of exactly
+    # max_pages hops needs one more emptiness check on its (empty)
+    # successor frontier before the cycle guard may fire (round-3
+    # ADVICE: the old loop raised on the boundary-length chain)
+    for _ in range(max_pages + 1):
         nxt = reliable_ckpt(
             listing.join(frontier, ["source", "page_token"])
             .filter(

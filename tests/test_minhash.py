@@ -274,6 +274,20 @@ def test_drive_file_list_cycle_terminates_and_long_chain_raises(spark):
     with pytest.raises(RuntimeError, match="longer than"):
         drive_file_list(chain, files, max_pages=4)
 
+    # boundary: an acyclic chain of EXACTLY max_pages hops is legal —
+    # the guard must only fire past it (round-3 ADVICE off-by-one)
+    boundary = spark.createDataFrame(
+        [("s", "", "t1"), ("s", "t1", "t2"), ("s", "t2", None)],
+        "source string, page_token string, next_page_token string",
+    )
+    bfiles = spark.createDataFrame(
+        [("s", "", "f1", "n"), ("s", "t1", "f2", "n"), ("s", "t2", "f3", "n")],
+        "source string, page_token string, file_id string, name string",
+    )
+    got = {r.file_id
+           for r in drive_file_list(boundary, bfiles, max_pages=2).collect()}
+    assert got == {"f1", "f2", "f3"}
+
 
 def test_robots_rules_parser_group_selection(spark):
     """robots.txt body parser: multi-agent groups, case-insensitive

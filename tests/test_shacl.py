@@ -275,3 +275,131 @@ def test_conformance_sh_or_value_alternatives(spark):
     got = {r.subject: r.conforms
            for r in shape_conformance(triples, [shape]).collect()}
     assert got == {"<d1>": True, "<d2>": True, "<d3>": False}
+
+
+def test_sh_or_rdf_list_form_parses_alternatives():
+    """Spec SHACL serializes sh:or as an RDF list (rdf:first/rdf:rest);
+    the parser must follow the chain instead of treating the list head
+    as one constraint-less (always-true) alternative (round-3 ADVICE)."""
+    from gleaner_spark.operators.shacl import shapes_from_triples
+
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    sh = "http://www.w3.org/ns/shacl#"
+    rows = [
+        ("<https://ex.org/S>", T, f"<{sh}NodeShape>"),
+        ("<https://ex.org/S>", f"<{sh}targetClass>", "<http://ex.org/T>"),
+        ("<https://ex.org/S>", f"<{sh}property>", "_:p"),
+        ("_:p", f"<{sh}path>", "<http://ex.org/ref>"),
+        ("_:p", f"<{sh}or>", "_:l1"),
+        ("_:l1", f"<{rdf}first>", "_:a1"),
+        ("_:l1", f"<{rdf}rest>", "_:l2"),
+        ("_:l2", f"<{rdf}first>", "_:a2"),
+        ("_:l2", f"<{rdf}rest>", f"<{rdf}nil>"),
+        ("_:a1", f"<{sh}nodeKind>", f"<{sh}IRI>"),
+        ("_:a2", f"<{sh}pattern>", '"^ok:"'),
+    ]
+    [shape] = shapes_from_triples(rows)
+    [c] = shape.properties
+    alts = {(a.node_kind, a.pattern) for a in c.or_alternatives}
+    assert alts == {("IRI", None), (None, "^ok:")}
+
+
+def test_sh_or_constraintless_alternative_raises():
+    """A sh:or alternative carrying no recognized value-level constraint
+    must raise, not silently accept every value."""
+    from gleaner_spark.operators.shacl import shapes_from_triples
+
+    sh = "http://www.w3.org/ns/shacl#"
+    rows = [
+        ("<https://ex.org/S>", T, f"<{sh}NodeShape>"),
+        ("<https://ex.org/S>", f"<{sh}targetClass>", "<http://ex.org/T>"),
+        ("<https://ex.org/S>", f"<{sh}property>", "_:p"),
+        ("_:p", f"<{sh}path>", "<http://ex.org/ref>"),
+        ("_:p", f"<{sh}or>", "_:empty"),
+        # _:empty has no triples at all — the fail-open shape
+    ]
+    with pytest.raises(ValueError, match="no recognized value-level"):
+        shapes_from_triples(rows)
+
+
+def test_conformance_per_value_nodekind_datatype(spark):
+    """A focus node with one conforming value plus one wrong-kind /
+    wrong-datatype value must NOT conform, matching the validation
+    report's per-value semantics (round-3 ADVICE)."""
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    shape = NodeShape(
+        "S", SCHEMA + "Dataset",
+        [
+            PropertyConstraint(SCHEMA + "url", min_count=1,
+                               node_kind="IRI"),
+            PropertyConstraint(SCHEMA + "version", min_count=1,
+                               datatype=xsd_int),
+        ],
+    )
+    rows = [
+        # a: clean
+        ("<a>", T, f"<{SCHEMA}Dataset>"),
+        ("<a>", f"<{SCHEMA}url>", "<https://ok/1>"),
+        ("<a>", f"<{SCHEMA}version>", f'"1"^^<{xsd_int}>'),
+        # b: good url + literal url sibling → per-value NodeKind violation
+        ("<b>", T, f"<{SCHEMA}Dataset>"),
+        ("<b>", f"<{SCHEMA}url>", "<https://ok/2>"),
+        ("<b>", f"<{SCHEMA}url>", '"not-an-iri"'),
+        ("<b>", f"<{SCHEMA}version>", f'"2"^^<{xsd_int}>'),
+        # c: good version + plain-string sibling → Datatype violation
+        ("<c>", T, f"<{SCHEMA}Dataset>"),
+        ("<c>", f"<{SCHEMA}url>", "<https://ok/3>"),
+        ("<c>", f"<{SCHEMA}version>", f'"3"^^<{xsd_int}>'),
+        ("<c>", f"<{SCHEMA}version>", '"three"'),
+    ]
+    got = {r.subject: r.conforms
+           for r in shape_conformance(_triples(spark, rows), [shape]).collect()}
+    assert got == {"<a>": True, "<b>": False, "<c>": False}
+
+    # consistency: the report emits a violation row exactly where
+    # conformance said False
+    from gleaner_spark.operators.shacl import shape_validation_report
+
+    rep = shape_validation_report(_triples(spark, rows), [shape]).collect()
+    assert {r.focus_node for r in rep} == {"<b>", "<c>"}
+    comps = {(r.focus_node, r.constraint_component.rsplit("#")[-1]) for r in rep}
+    assert comps == {("<b>", "NodeKindConstraintComponent"),
+                     ("<c>", "DatatypeConstraintComponent")}
+
+
+def test_pattern_matches_unescaped_lexical_form_and_iris(spark):
+    """sh:pattern must see the VALUE's actual characters (a literal with
+    a real newline serializes as \\n — two chars — in n-quads) and, per
+    SHACL, applies to str(value) for IRIs too; blank nodes always fail
+    (round-3 ADVICE)."""
+    shape = NodeShape(
+        "S", SCHEMA + "Dataset",
+        [PropertyConstraint(SCHEMA + "desc", min_count=1,
+                            pattern="^line1\nline2$")],
+    )
+    iri_shape = NodeShape(
+        "S2", SCHEMA + "Dataset",
+        [PropertyConstraint(SCHEMA + "url", min_count=1,
+                            pattern="^https://ok\\.example/")],
+    )
+    rows = [
+        # a: literal containing a REAL newline (serialized escaped)
+        ("<a>", T, f"<{SCHEMA}Dataset>"),
+        ("<a>", f"<{SCHEMA}desc>", '"line1\\nline2"'),
+        ("<a>", f"<{SCHEMA}url>", "<https://ok.example/a>"),
+        # b: literal whose body is literally backslash-n (escaped \\n)
+        ("<b>", T, f"<{SCHEMA}Dataset>"),
+        ("<b>", f"<{SCHEMA}desc>", '"line1\\\\nline2"'),
+        ("<b>", f"<{SCHEMA}url>", "<https://bad.example/b>"),
+        # c: blank-node value can never match a pattern
+        ("<c>", T, f"<{SCHEMA}Dataset>"),
+        ("<c>", f"<{SCHEMA}desc>", "_:blank"),
+        ("<c>", f"<{SCHEMA}url>", "<https://ok.example/c>"),
+    ]
+    t = _triples(spark, rows)
+    got = {r.subject: r.conforms
+           for r in shape_conformance(t, [shape]).collect()}
+    assert got == {"<a>": True, "<b>": False, "<c>": False}
+    got_iri = {r.subject: r.conforms
+               for r in shape_conformance(t, [iri_shape]).collect()}
+    assert got_iri == {"<a>": True, "<b>": False, "<c>": True}
