@@ -1157,28 +1157,68 @@ from topk cross join (values ('bruteforce'), ('vectorized')) impls(impl)
 """
 
 
-#: Sign-LSH bucket-size cap.  8 sign bits give only 256 buckets, so at
-#: 10^12 vectors every bucket is ~4×10⁹ rows and the within-bucket
-#: self-join goes quadratic; capping (identically in the oracles) keeps
-#: the worst bucket bounded, and dropped buckets are observed — not
-#: silent — exactly like the MinHash/SimHash paths (round-2 VERDICT #2).
+#: Sign-LSH bucket-size cap.  Buckets above this are dropped (observed
+#: via cap_buckets, never silent) before any within-bucket self-join —
+#: the quadratic-blowup guard of last resort (round-2 VERDICT #2).
 SIGN_LSH_MAX_BUCKET = 512
+
+#: Mean bucket-occupancy target the sign bit-width is derived from:
+#: bits ≈ log2(n / target), so buckets stay well under the cap and the
+#: cap only catches genuine skew (near-duplicate pile-ups), not the
+#: average bucket.  Round-3 VERDICT #2: a CONSTANT 8-bit width meant
+#: that at 10^12 vectors every bucket blew past the cap and the
+#: operator degraded to near-zero recall; deriving the width from the
+#: corpus count keeps mean occupancy flat at any scale.
+SIGN_LSH_TARGET_BUCKET = 64
+
+#: bit-width clamp: ≥4 keeps tiny corpora bucketed at all; ≤16 keeps
+#: the bucket key within the leading dims of the 64-dim embeddings and
+#: the multi-probe list tiny (probes = bits + 1)
+SIGN_LSH_MIN_BITS, SIGN_LSH_MAX_BITS = 4, 16
+
+
+def _sign_lsh_bits(n: int) -> int:
+    """Corpus-size-derived sign-LSH bit-width:
+    clamp(ceil(log2(ceil(n / target))), 4, 16) in pure integer
+    arithmetic (bit_length — no float log2, so the SQL mirror
+    ``_sign_bits_sql`` agrees exactly on power-of-two boundaries)."""
+    m = -(-n // SIGN_LSH_TARGET_BUCKET)
+    b = (m - 1).bit_length() if m > 1 else 0
+    return max(SIGN_LSH_MIN_BITS, min(SIGN_LSH_MAX_BITS, b))
+
+
+def _sign_bits_sql(src: str) -> str:
+    """DuckDB mirror of :func:`_sign_lsh_bits` as a params CTE body:
+    ``p as (<this>)`` → ``(select bits from p)``.  length(bin(m-1)) is
+    ceil(log2(m)) for m ≥ 2 — integer-exact like bit_length."""
+    return f"""
+  select greatest({SIGN_LSH_MIN_BITS}, least({SIGN_LSH_MAX_BITS},
+    case when m <= 1 then 0 else length(bin((m - 1)::BIGINT)) end)) as bits
+  from (select cast(ceil(count(*) / {SIGN_LSH_TARGET_BUCKET}.0) as bigint)
+          as m from {src})"""
+
+
+def _sign_bucket_expr(bits: int):
+    """Spark bucket key: signs of the first ``bits`` embedding dims."""
+    return F.expr(
+        f"concat_ws('', transform(slice(embedding, 1, {bits}),"
+        " x -> case when x >= 0 then '1' else '0' end))"
+    )
 
 
 def q_ann_lsh_bucketed(spark, sf_dir):
-    """Scale-path ANN: sign-bucket LSH (first 8 dims' signs) → top-5
-    within-bucket pairs per bucket by cosine.  At 10^12 scale the bucket
-    key becomes the shuffle/partition key; brute force stays per-bucket,
-    and buckets over SIGN_LSH_MAX_BUCKET members are dropped (observed
-    via cap_buckets) before the self-join."""
+    """Scale-path ANN: sign-bucket LSH (corpus-size-derived bit-width,
+    see _sign_lsh_bits) → top-5 within-bucket pairs per bucket by
+    cosine.  At 10^12 scale the bucket key becomes the shuffle/partition
+    key; brute force stays per-bucket, and buckets over
+    SIGN_LSH_MAX_BUCKET members are dropped (observed via cap_buckets)
+    before the self-join."""
     from ..functions.minhash import cap_buckets
 
     e = _load(spark, sf_dir, "embeddings")
-    bucket = F.expr(
-        "concat_ws('', transform(slice(embedding, 1, 8),"
-        " x -> case when x >= 0 then '1' else '0' end))"
-    )
-    eb = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    bits = _sign_lsh_bits(e.count())
+    eb = e.select("vec_id", "embedding",
+                  _sign_bucket_expr(bits).alias("bucket"))
     eb = cap_buckets(eb, ["bucket"], SIGN_LSH_MAX_BUCKET)
     l = eb.select("bucket", F.col("vec_id").alias("a"),
                   F.col("embedding").alias("ea"))
@@ -1203,9 +1243,11 @@ def q_ann_lsh_bucketed(spark, sf_dir):
 
 
 O_ANN_LSH = f"""
-with eb0 as (
+with p as ({_sign_bits_sql('embeddings')}
+),
+eb0 as (
   select vec_id, embedding::DOUBLE[] as ev,
-         array_to_string(list_transform(embedding[1:8],
+         array_to_string(list_transform(embedding[1:(select bits from p)],
            x -> case when x >= 0 then '1' else '0' end), '') as bucket
   from embeddings
 ),
@@ -1230,8 +1272,9 @@ select bucket, a, b, cos_sim, rnk from (
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs: sign-bucket LSH blocking (first
-    8 dims) keeps the pair space per-bucket; within buckets, exact cosine
+    """Embedding-cosine near-dup pairs: sign-bucket LSH blocking
+    (corpus-size-derived bit-width) keeps the pair space per-bucket;
+    within buckets, exact cosine
     ≥ 0.9 marks near-duplicates.  Same blocking in the oracle — the check
     verifies the bucketed semantics, not exhaustive recall (that's
     ann_topk_bruteforce's job).  The input is dup-enriched with a
@@ -1247,13 +1290,11 @@ def q_dedup_embedding_cosine(spark, sf_dir):
         ).alias("embedding"),
     )
     e = e.unionByName(mutant)
-    bucket = F.expr(
-        "concat_ws('', transform(slice(embedding, 1, 8),"
-        " x -> case when x >= 0 then '1' else '0' end))"
-    )
     from ..functions.minhash import cap_buckets
 
-    eb = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    bits = _sign_lsh_bits(e.count())
+    eb = e.select("vec_id", "embedding",
+                  _sign_bucket_expr(bits).alias("bucket"))
     eb = cap_buckets(eb, ["bucket"], SIGN_LSH_MAX_BUCKET)
     l = eb.select("bucket", F.col("vec_id").alias("a"),
                   F.col("embedding").alias("ea"))
@@ -1277,9 +1318,11 @@ with dup as (
            as embedding
   from embeddings
 ),
+p as ({_sign_bits_sql('dup')}
+),
 eb0 as (
   select vec_id, embedding::DOUBLE[] as ev,
-         array_to_string(list_transform(embedding[1:8],
+         array_to_string(list_transform(embedding[1:(select bits from p)],
            x -> case when x >= 0 then '1' else '0' end), '') as bucket
   from dup
 ),
@@ -1533,20 +1576,18 @@ select cid, vec_id, cos_sim, rnk from (
 
 
 def q_ann_multiprobe(spark, sf_dir):
-    """Multi-probe sign-LSH ANN: every vector hashes to ONE 8-bit sign
-    bucket; the query probes its own bucket plus all 8 Hamming-1
-    neighbours (9 buckets) and brute-forces only inside them — recall
-    recovers most of what single-bucket LSH loses at ~9/256 of the
-    brute-force cost.  At 10^12 vectors the bit-width scales up (more,
-    smaller buckets) and the probe list stays an O(bits) broadcast.
-    Top-k via TakeOrderedAndProject (no corpus-wide window)."""
-    n_bits = 8
+    """Multi-probe sign-LSH ANN: every vector hashes to ONE sign bucket
+    (corpus-size-derived bit-width); the query probes its own bucket
+    plus all Hamming-1 neighbours (bits+1 buckets) and brute-forces
+    only inside them — recall recovers most of what single-bucket LSH
+    loses at ~(bits+1)/2^bits of the brute-force cost.  At 10^12
+    vectors the bit-width scales up automatically (more, smaller
+    buckets) and the probe list stays an O(bits) broadcast.  Top-k via
+    TakeOrderedAndProject (no corpus-wide window)."""
     e = _load(spark, sf_dir, "embeddings")
-    bucket = F.expr(
-        f"concat_ws('', transform(slice(embedding, 1, {n_bits}),"
-        " x -> case when x >= 0 then '1' else '0' end))"
-    )
-    eb = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    n_bits = _sign_lsh_bits(e.count())
+    eb = e.select("vec_id", "embedding",
+                  _sign_bucket_expr(n_bits).alias("bucket"))
     q = eb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"), F.col("bucket").alias("qb")
     )
@@ -1568,21 +1609,26 @@ def q_ann_multiprobe(spark, sf_dir):
     return _ranked_topk(scored, ["vec_id", "cos_sim", "rnk"], k=10)
 
 
-O_ANN_MULTIPROBE = """
-with eb as (
+O_ANN_MULTIPROBE = f"""
+with p as ({_sign_bits_sql('embeddings')}
+),
+eb as (
   select vec_id, embedding::DOUBLE[] as ev,
-         array_to_string(list_transform(embedding[1:8],
+         array_to_string(list_transform(embedding[1:(select bits from p)],
            x -> case when x >= 0 then '1' else '0' end), '') as bucket
   from embeddings
 ),
 q as (select ev as qv, bucket as qb from eb where vec_id = 0),
 probes as (
-  select distinct unnest(list_transform(generate_series(0, 8),
+  -- p joined in as a row column: DuckDB lambdas can capture columns
+  -- but not scalar subqueries
+  select distinct unnest(list_transform(
+    generate_series(0, p.bits),
     i -> case when i = 0 then qb
          else substring(qb, 1, i - 1)
               || (case when substring(qb, i, 1) = '0' then '1' else '0' end)
-              || substring(qb, i + 1, 8 - i) end)) as bucket
-  from q
+              || substring(qb, i + 1, p.bits - i) end)) as bucket
+  from q, p
 ),
 scored as (
   select e.vec_id,
