@@ -160,7 +160,9 @@ def extract_jsonld_strings(
 # static shapes: a JSON-LD object literal assigned in plain JS
 # (``var x = {"@context": ...};``), a JSON.parse('...') payload, and a
 # whole <script type="application/ld+json"> tag built inside a JS string
-# (insertAdjacentHTML / document.write).  Anything that requires actually
+# (insertAdjacentHTML / document.write) — including the tag/payload
+# CONCATENATED from several ``+``-joined literals with a split
+# ``'</scr' + 'ipt>'`` closer.  Anything that requires actually
 # executing JS (fetch + DOM insert, computed objects) stays a measured
 # gap — see operators/stats.py headless counters.
 # ---------------------------------------------------------------------------
@@ -185,13 +187,40 @@ def _js_unescape(s: str) -> str:
     return _JS_ESC_RE.sub(rep, s)
 
 
+def _skip_ws_comments(text: str, i: int) -> int:
+    """Index of the next token after whitespace and ``//``/``/* */``
+    comments starting at ``i``."""
+    n = len(text)
+    while i < n:
+        c = text[i]
+        if c in " \t\r\n":
+            i += 1
+            continue
+        if c == "/" and i + 1 < n:
+            if text[i + 1] == "/":
+                j = text.find("\n", i)
+                i = n if j == -1 else j + 1
+                continue
+            if text[i + 1] == "*":
+                j = text.find("*/", i + 2)
+                i = n if j == -1 else j + 2
+                continue
+        break
+    return i
+
+
 def _brace_spans_and_strings(text: str):
     """One pass over JS source: balanced ``{...}`` spans OUTSIDE string
-    literals and comments, plus the raw contents of every string literal
-    ('…', "…", `…`).  Regex literals are not tracked (a ``/…{…/`` regex
-    could unbalance a span — the json.loads validation downstream rejects
-    any resulting garbage, so the failure mode is a missed recovery, not
-    a wrong one)."""
+    literals and comments, plus the raw contents of every string
+    CONCATENATION GROUP — adjacent literals joined only by ``+`` (and
+    whitespace/comments) are returned as one joined string, the shape
+    ``document.write('<script…>' + '{"@context"…' + '…}</scr' +
+    'ipt>')`` pages use to dodge naive scanners (headlessNG.go's
+    rendered DOM sees them joined; a single literal is a group of one).
+    Regex literals are not tracked (a ``/…{…/`` regex could unbalance a
+    span — the json.loads validation downstream rejects any resulting
+    garbage, so the failure mode is a missed recovery, not a wrong
+    one)."""
     spans: list[tuple[int, int]] = []
     strings: list[str] = []
     stack: list[int] = []
@@ -199,18 +228,28 @@ def _brace_spans_and_strings(text: str):
     while i < n:
         c = text[i]
         if c in ('"', "'", "`"):
-            q = c
-            i += 1
-            start = i
-            while i < n:
-                if text[i] == "\\":
-                    i += 2
-                    continue
-                if text[i] == q:
-                    break
+            parts: list[str] = []
+            while True:
+                q = text[i]
                 i += 1
-            strings.append(text[start:i])
-            i += 1
+                start = i
+                while i < n:
+                    if text[i] == "\\":
+                        i += 2
+                        continue
+                    if text[i] == q:
+                        break
+                    i += 1
+                parts.append(text[start:i])
+                i += 1  # past the closing quote
+                j = _skip_ws_comments(text, i)
+                if j < n and text[j] == "+":
+                    k = _skip_ws_comments(text, j + 1)
+                    if k < n and text[k] in ('"', "'", "`"):
+                        i = k
+                        continue
+                break
+            strings.append("".join(parts))
             continue
         if c == "/" and i + 1 < n:
             if text[i + 1] == "/":
@@ -266,8 +305,12 @@ def _scan_js_candidates(text: str, out: list[str], seen: set[str],
             continue  # JS code block, not a JSON literal — try children
         if _looks_jsonld(v):
             accepted.append((a, b))
-            if frag not in seen:
-                seen.add(frag)
+            # dedup on the PARSED document, not the raw text: the same
+            # JSON-LD often appears once as an object literal and again
+            # as a differently-whitespaced string payload on one page
+            key = json.dumps(v, sort_keys=True, separators=(",", ":"))
+            if key not in seen:
+                seen.add(key)
                 out.append(frag)
     # string-literal payloads: a whole ld+json <script> tag built in JS,
     # or a JSON.parse('{"@context": ...}') argument
@@ -282,9 +325,12 @@ def _scan_js_candidates(text: str, out: list[str], seen: set[str],
                     v = json.loads(blk)
                 except ValueError:
                     continue
-                if _looks_jsonld(v) and blk not in seen:
-                    seen.add(blk)
-                    out.append(blk)
+                if _looks_jsonld(v):
+                    key = json.dumps(v, sort_keys=True,
+                                     separators=(",", ":"))
+                    if key not in seen:
+                        seen.add(key)
+                        out.append(blk)
         elif '"@context"' in s or '"@type"' in s:
             _scan_js_candidates(_js_unescape(s), out, seen, budget,
                                 max_span, depth + 1)

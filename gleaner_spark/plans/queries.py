@@ -1807,21 +1807,29 @@ from built
 
 def q_kg_js_inline_recover(spark, sf_dir):
     """S5 headless-gap fallback: pages whose JSON-LD lives in PLAIN
-    <script> JS — an object-literal assignment (doc_id%3==0), a
-    JSON.parse('...') payload (doc_id%3==1), or a normal static ld+json
-    tag as the control (doc_id%3==2) — all flow through the SAME
-    extract → normalize path; recovered docs carry via='js_inline'.
-    The reference reaches the first two shapes only by rendering in
-    headless Chrome (headlessNG.go:302-349).  Verified value-level via
-    the URDNA2015 canonical sha256 per doc (same construction as
-    kg_graph_urn's oracle)."""
+    <script> JS — an object-literal assignment (doc_id%5==0), a
+    JSON.parse('...') payload (%5==1), a document.write of a
+    '+'-CONCATENATED ld+json tag with the split '</scr'+'ipt>' closer
+    (%5==2), the SAME doc twice (object literal + differently-spaced
+    string payload) proving parsed-level dedup keeps one (%5==3), or a
+    normal static ld+json tag as the control (%5==4) — all flow
+    through the SAME extract → normalize path; recovered docs carry
+    via='js_inline'.  The reference reaches the non-static shapes only
+    by rendering in headless Chrome (headlessNG.go:302-349).  Verified
+    value-level via the URDNA2015 canonical sha256 per doc (same
+    construction as kg_graph_urn's oracle)."""
     from ..operators.stages import extract_stage, normalize_stage, with_source
 
     d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < KG_DOC_LIMIT)
     doc_json = F.expr(_kg_json_sql(False))
+    json_a = F.substring(doc_json, 1, 30)
+    json_b = F.substring(doc_json, 31, 1_000_000)
+    # parsed-equal, text-different copy: space injected after '{'
+    doc_json_spaced = F.concat(F.lit("{ "),
+                               F.substring(doc_json, 2, 1_000_000))
     html = (
         F.when(
-            F.col("doc_id") % 3 == 0,
+            F.col("doc_id") % 5 == 0,
             F.concat(
                 F.lit("<html><head><script type=\"text/javascript\">"
                       "var page = 1; var schemaData = "),
@@ -1831,10 +1839,30 @@ def q_kg_js_inline_recover(spark, sf_dir):
             ),
         )
         .when(
-            F.col("doc_id") % 3 == 1,
+            F.col("doc_id") % 5 == 1,
             F.concat(
                 F.lit("<html><head><script>var p = JSON.parse('"),
                 doc_json,
+                F.lit("');</script></head><body>decoy</body></html>"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(
+                F.lit("<html><head><script>document.write("
+                      "'<script type=\"application/ld+json\">' + '"),
+                json_a, F.lit("' + '"), json_b,
+                F.lit("' + '</scr' + 'ipt>');</script></head>"
+                      "<body>decoy</body></html>"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(
+                F.lit("<html><head><script>var a = "),
+                doc_json,
+                F.lit("; use(a);</script><script>var b = JSON.parse('"),
+                doc_json_spaced,
                 F.lit("');</script></head><body>decoy</body></html>"),
             ),
         )
@@ -1867,7 +1895,7 @@ with d as (select doc_id, source, lang from documents where doc_id < {KG_DOC_LIM
 built as (
   select doc_id,
     concat('<https://example.org/doc/', cast(doc_id as varchar), '>') as s,
-    case when doc_id % 3 = 2 then 'static' else 'js_inline' end as via,
+    case when doc_id % 5 = 4 then 'static' else 'js_inline' end as via,
     source, lang from d
 )
 select doc_id, via, sha256(concat(

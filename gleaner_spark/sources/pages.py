@@ -230,6 +230,40 @@ def page_row(i: int, profile: str = "light") -> dict:
     if cls == "rawjson":
         url = f"https://{host}/data/{i}.jsonld"
         html = json.dumps(make_doc(i, host), sort_keys=True, indent=1)
+    elif cls == "none":
+        # the headless-gap population, sub-split so the recovered vs
+        # remaining stats tell a real story on the bench corpus:
+        #   i%3==0 → truly empty (decoy marker only)
+        #   i%3==1 → statically-recoverable JS-inline JSON-LD
+        #            (JSON.parse payload / '+'-concatenated
+        #            document.write tag — headlessNG.go:302-349 shapes)
+        #   i%3==2 → computed via fetch+DOM insert: recoverable ONLY by
+        #            executing JS — the measured remaining gap
+        url = f"https://{host}/page/{i}"
+        doc = json.dumps(make_doc(i, host), sort_keys=True)
+        sub = i % 3
+        if sub == 1:
+            if i % 2:
+                js = f"var meta = JSON.parse('{doc}'); render(meta);"
+            else:
+                half = len(doc) // 2
+                js = (
+                    "document.write('<script type=\"application/ld+json\">'"
+                    f" + '{doc[:half]}' + '{doc[half:]}'"
+                    " + '</scr' + 'ipt>');"
+                )
+            scripts = f"<script>{js}</script>"
+        elif sub == 2:
+            scripts = (
+                "<script>fetch('/api/meta').then(r => r.json()).then(d => {"
+                "var s = document.createElement('script');"
+                "s.type = 'application/ld+json';"
+                "s.text = JSON.stringify(d);"
+                "document.head.appendChild(s);});</script>"
+            )
+        else:
+            scripts = ""
+        html = PAGE_TEMPLATE.format(i=i, scripts=scripts, body=body)
     else:
         url = f"https://{host}/page/{i}"
         blocks = jsonld_blocks(i)

@@ -174,3 +174,61 @@ class TestInlineJsonldRecovery:
 
         assert find_inline_jsonld("<html><body>x</body></html>") == []
         assert find_inline_jsonld("") == []
+
+
+class TestJsInlineConcatenation:
+    """Round-3 VERDICT #3: statically-recoverable shapes the rendered
+    DOM would show joined — '+'-concatenated string payloads,
+    document.write of a (split-closer) ld+json tag, and cross-shape
+    dedup of the same document."""
+
+    DOC = '{"@context": "https://schema.org/", "@type": "Dataset", "name": "C1"}'
+
+    def test_concatenated_json_parse_payload(self):
+        from gleaner_spark.core.extract import find_inline_jsonld
+
+        a, b = self.DOC[:25], self.DOC[25:]
+        html = (f"<script>var d = JSON.parse('{a}' + '{b}');"
+                "render(d);</script>")
+        assert find_inline_jsonld(html) == [self.DOC]
+
+    def test_document_write_split_script_tag(self):
+        from gleaner_spark.core.extract import find_inline_jsonld
+
+        html = (
+            "<script>document.write("
+            "'<script type=\"application/ld+json\">' + "
+            f"'{self.DOC[:30]}' + '{self.DOC[30:]}' + "
+            "'</scr' + 'ipt>');</script>"
+        )
+        assert find_inline_jsonld(html) == [self.DOC]
+
+    def test_concat_across_comments_and_newlines(self):
+        from gleaner_spark.core.extract import find_inline_jsonld
+
+        a, b = self.DOC[:20], self.DOC[20:]
+        html = (f"<script>var d = JSON.parse('{a}' /* mid */ +\n"
+                f"  // second half\n  '{b}');</script>")
+        assert find_inline_jsonld(html) == [self.DOC]
+
+    def test_same_doc_object_literal_and_string_deduped(self):
+        from gleaner_spark.core.extract import find_inline_jsonld
+
+        spaced = self.DOC.replace(": ", ":  ")  # same parsed doc
+        html = (f"<script>var a = {self.DOC};"
+                f" var b = JSON.parse('{spaced}');</script>")
+        assert find_inline_jsonld(html) == [self.DOC]
+
+    def test_distinct_docs_both_kept_in_order(self):
+        from gleaner_spark.core.extract import find_inline_jsonld
+
+        d2 = '{"@context": "https://schema.org/", "@type": "Person"}'
+        html = (f"<script>var a = {self.DOC};"
+                f" var b = JSON.parse('{d2}');</script>")
+        assert find_inline_jsonld(html) == [self.DOC, d2]
+
+    def test_plain_string_concat_not_jsonld_ignored(self):
+        from gleaner_spark.core.extract import find_inline_jsonld
+
+        html = "<script>var s = 'hello ' + 'world' + 1;</script>"
+        assert find_inline_jsonld(html) == []

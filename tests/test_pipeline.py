@@ -45,9 +45,12 @@ def expected_docs_and_triples(n: int):
     docs: dict[str, dict] = {}
     for i in range(n):
         row = page_row(i)
-        blocks = core_extract.extract_jsonld_strings(
-            row["html"].decode("utf-8"), row["url"]
-        )
+        html = row["html"].decode("utf-8")
+        blocks = core_extract.extract_jsonld_strings(html, row["url"])
+        if not blocks:
+            # mirror extract_stage's js-inline recovery for
+            # zero-static-block pages (via='js_inline')
+            blocks = core_extract.find_inline_jsonld(html)
         host = row["url"].split("/")[2]
         cfg = host_cfg.get(host, {})
         for b in blocks:
@@ -192,9 +195,14 @@ def test_headless_gap_measured(corpus):
     tot = result.stats.agg(
         F.sum("headless_candidates").alias("hc"),
         F.sum("empty_doc").alias("ed"),
+        F.sum("headless_recovered").alias("hr"),
     ).first()
     assert tot.hc > 0
     assert tot.hc == tot.ed
+    # the statically-recoverable JS-inline sub-population (pages.py
+    # row_class 'none', i%3==1) is recovered — the candidates that
+    # remain are exactly the computed-JS pages a browser would need
+    assert tot.hr > 0
 
 
 def test_per_partition_lineage_written(spark, corpus):
