@@ -86,11 +86,58 @@ class PipelineResult:
     resumed_urls_skipped: int | None = None
 
 
+def iceberg_catalog(spark: SparkSession) -> tuple[str, str] | None:
+    """(catalog, namespace) when an Iceberg catalog is configured on the
+    session, else None.  Detection: any ``spark.sql.catalog.<name>``
+    conf whose value is an Iceberg catalog implementation (the standard
+    Iceberg-on-Spark wiring).  Namespace from
+    ``spark.gleaner.iceberg.namespace`` (default ``gleaner``)."""
+    for r in spark.sql("SET").collect():
+        k, v = r.key, str(r.value)
+        if (k.startswith("spark.sql.catalog.")
+                and k.count(".") == 3 and "iceberg" in v.lower()):
+            ns = spark.conf.get("spark.gleaner.iceberg.namespace", "gleaner")
+            return k.rsplit(".", 1)[-1], ns
+    return None
+
+
+def _write_iceberg(df: DataFrame, cat: tuple[str, str], name: str,
+                   partition_by: list[str] | None, mode: str) -> str:
+    """DataFrameWriterV2 path for a configured Iceberg catalog: append
+    the delta in diff mode, dynamic ``overwritePartitions`` for a full
+    refresh of a partitioned table, snapshot ``createOrReplace``
+    otherwise.  Returns the table identifier for read-back."""
+    catalog, ns = cat
+    table = f"{catalog}.{ns}.{name}"
+    spark = df.sparkSession
+    exists = spark.catalog.tableExists(table)
+    if not exists:
+        w = df.writeTo(table)
+        if partition_by:
+            w = w.partitionedBy(*[F.col(c) for c in partition_by])
+        w.create()
+    elif mode == "append":
+        df.writeTo(table).append()
+    elif partition_by:
+        # full refresh of a partitioned table: replace exactly the
+        # partitions this run produced, atomically, and keep others
+        df.writeTo(table).overwritePartitions()
+    else:
+        df.writeTo(table).createOrReplace()
+    return table
+
+
 def _write(df: DataFrame, base: str, name: str,
            partition_by: list[str] | None = None, mode: str = "overwrite"):
-    """Stage persistence.  Full runs overwrite; diff (resume) runs append
-    the delta — the Iceberg equivalent is MERGE INTO keyed on url/doc_sha
-    (the reference appends objects to the store, never clears it)."""
+    """Stage persistence.  With an Iceberg catalog configured the stage
+    tables are real catalog tables (append / overwritePartitions /
+    createOrReplace via DataFrameWriterV2); without one — this sandbox —
+    plain parquet directories stand in with the same overwrite/append
+    semantics."""
+    cat = iceberg_catalog(df.sparkSession)
+    if cat is not None:
+        _write_iceberg(df, cat, name, partition_by, mode)
+        return
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
@@ -116,6 +163,10 @@ def _persist(df: DataFrame, base: str, name: str,
         _write(df, base, name, partition_by, mode)
         return df
     _write(df, base, name, partition_by, mode)
+    cat = iceberg_catalog(df.sparkSession)
+    if cat is not None:
+        table = f"{cat[0]}.{cat[1]}.{name}"
+        return df.sparkSession.read.table(table).select(*df.columns)
     return df.sparkSession.read.parquet(os.path.join(base, name)).select(
         *df.columns
     )
@@ -189,7 +240,11 @@ def run_pipeline(
         # cross-run content dedup: drop docs whose sha an earlier run
         # already stored (same JSON-LD reached via a new URL)
         try:
-            prior = spark.read.parquet(os.path.join(base, "docs"))
+            cat = iceberg_catalog(spark)
+            prior = (
+                spark.read.table(f"{cat[0]}.{cat[1]}.docs") if cat
+                else spark.read.parquet(os.path.join(base, "docs"))
+            )
             docs = docs.join(prior.select("doc_sha1"), "doc_sha1", "left_anti")
         except Exception:
             pass
