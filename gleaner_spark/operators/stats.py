@@ -45,6 +45,16 @@ def run_stats(blocks: DataFrame, docs: DataFrame) -> DataFrame:
     return (
         page_counts.join(doc_counts, "source", "left")
         .na.fill(0, ["stored", "issues"])
+        # full reference key set (stats.go:48-55) so a migration's
+        # dashboards map 1:1.  Three keys have no analogue in the
+        # table-driven world and are structurally zero: HttpError
+        # (pages arrive pre-fetched in the input table), StoreError
+        # (sink failures fail the Spark job, they don't skip rows),
+        # HeadlessError (no headless browser service).
+        .withColumn("http_error", F.lit(0).cast("long"))
+        .withColumn("store_error", F.lit(0).cast("long"))
+        .withColumn("headless_error", F.lit(0).cast("long"))
         .select("source", "count", "summoned", "stored", "issues",
-                "empty_doc", "headless_candidates", "headless_recovered")
+                "empty_doc", "http_error", "store_error", "headless_error",
+                "headless_candidates", "headless_recovered")
     )

@@ -273,24 +273,77 @@ order by l_returnflag, l_linestatus
 """
 
 
+#: constructed-corpus size for the KG-path gate queries (also used by
+#: q_run_stats below, hence defined here rather than in the KG section)
+KG_DOC_LIMIT = 200
+
+
 def q_run_stats(spark, sf_dir):
-    """J6: the reference's RunStats counter map as one aggregation."""
-    ev = _load(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-            F.countDistinct("user_id").alias("users"),
+    """J6: the reference's FULL RunStats counter map (stats.go:48-55 —
+    Count/HttpError/Issues/Summoned/EmptyDoc/Stored/StoreError/
+    HeadlessError plus our recovered-vs-remaining headless split)
+    computed by the real run_stats operator over a mixed constructed
+    corpus: doc_id%7==5 pages carry no JSON-LD but mention ld+json
+    (EmptyDoc + headless candidate), %7==6 carry an unterminated block
+    (Summoned but Issues), the rest a valid static doc (Summoned +
+    Stored).  The oracle reconstructs every counter from the same mods.
+    HttpError/StoreError/HeadlessError are structurally zero in the
+    table-driven world (documented in operators/stats.py) and the
+    oracle pins them at zero so a regression that starts miscounting
+    into them fails the gate."""
+    from ..operators.stages import extract_stage, normalize_stage, with_source
+    from ..operators.stats import run_stats
+
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < KG_DOC_LIMIT)
+    doc_json = F.expr(_kg_json_sql(False))
+    html = (
+        F.when(
+            F.col("doc_id") % 7 == 5,
+            F.lit("<html><head></head><body>"
+                  "<!-- application/ld+json injected later --></body></html>"),
         )
-        .orderBy("event_type")
+        .when(
+            F.col("doc_id") % 7 == 6,
+            F.lit('<html><head><script type="application/ld+json">'
+                  '{"@context": "https://schema.org/", "name": "broken'
+                  "</script></head><body></body></html>"),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('<html><head><script type="application/ld+json">'),
+                doc_json,
+                F.lit("</script></head><body></body></html>"),
+            )
+        )
     )
+    pages = d.select(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.org/stat/"), F.col("doc_id")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        html.cast("binary").alias("html"),
+        F.col("text"), F.col("lang"),
+    )
+    blocks = extract_stage(with_source(pages, None))
+    docs = normalize_stage(blocks)
+    return run_stats(blocks, docs).orderBy("source")
 
 
-O_RUN_STATS = """
-select event_type, count(*) as n, round(sum(value), 2) as total_value,
-       count(distinct user_id) as users
-from events group by event_type order by event_type
+O_RUN_STATS = f"""
+with d as (select doc_id,
+                  concat(source, '.example.org') as source
+           from documents where doc_id < {KG_DOC_LIMIT})
+select source,
+       count(*) as count,
+       count(*) filter (doc_id % 7 <> 5) as summoned,
+       count(*) filter (doc_id % 7 not in (5, 6)) as stored,
+       count(*) filter (doc_id % 7 = 6) as issues,
+       count(*) filter (doc_id % 7 = 5) as empty_doc,
+       0::BIGINT as http_error,
+       0::BIGINT as store_error,
+       0::BIGINT as headless_error,
+       count(*) filter (doc_id % 7 = 5) as headless_candidates,
+       0::BIGINT as headless_recovered
+from d group by source order by source
 """
 
 
@@ -1671,8 +1724,8 @@ from documents
 # ---------------------------------------------------------------------------
 # KG pipeline queries (drive the real UDF path; oracle reconstructs in SQL)
 # ---------------------------------------------------------------------------
-
-KG_DOC_LIMIT = 200
+# (KG_DOC_LIMIT is defined before q_run_stats, which also builds a
+# constructed-pages corpus)
 
 
 def _kg_pages(spark, sf_dir):
