@@ -456,3 +456,65 @@ def test_iceberg_branch_selection(spark, tmp_path, monkeypatch):
         spark.conf.unset(key)
         spark.conf.unset("spark.gleaner.iceberg.namespace")
     assert pl.iceberg_catalog(spark) is None
+
+
+def test_entity_linking_labeled_precision_recall(spark):
+    """VERDICT r3 #9: end-to-end sameas_map P/R on a LABELED corpus —
+    gold clusters of name variants (case / punctuation / 'Inc' suffix)
+    plus digit-token near-collision decoys ('Survey Station 01' vs
+    '... 02') that must never merge.  Pair-level precision and recall
+    must both clear the north-rule 0.95 bar."""
+    import itertools
+
+    from gleaner_spark.operators.link import sameas_map
+
+    bases = [
+        "Ocean Data Consortium", "Polar Ice Monitoring Group",
+        "Global Geo Survey Alliance", "River Basin Observatory",
+        "Alpine Climate Archive", "Coastal Sediment Network",
+        "Desert Soils Laboratory", "Tropical Forest Registry",
+    ]
+    mentions = []  # (gold_cluster, entity, display_name)
+    for c, base in enumerate(bases):
+        aliases = [base, base.upper(), base.replace(" ", "-"),
+                   base + " Inc"]
+        for j, alias in enumerate(aliases):
+            mentions.append((f"g{c}", f"<https://ex.org/e/{c}/{j}>", alias))
+    for k in range(1, 11):  # decoys: identical prose, distinct digits
+        for j in range(2):
+            mentions.append((
+                f"dec{k}", f"<https://ex.org/d/{k}/{j}>",
+                f"Survey Station {k:02d}",
+            ))
+
+    t = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    nm = "<https://schema.org/name>"
+    org = "<https://schema.org/Organization>"
+    rows = []
+    for _, e, name in mentions:
+        rows.append((e, t, org, "g"))
+        rows.append((e, nm, f'"{name}"', "g"))
+    triples = spark.createDataFrame(
+        rows, "subject string, predicate string, object string, graph string"
+    )
+
+    canon = {r.entity: r.canonical for r in sameas_map(triples).collect()}
+    predicted: dict[str, list[str]] = {}
+    gold: dict[str, list[str]] = {}
+    for g, e, _ in mentions:
+        predicted.setdefault(canon.get(e, e), []).append(e)
+        gold.setdefault(g, []).append(e)
+
+    def pairs(clusters):
+        return {
+            frozenset(p)
+            for members in clusters.values()
+            for p in itertools.combinations(sorted(members), 2)
+        }
+
+    got, want = pairs(predicted), pairs(gold)
+    tp = len(got & want)
+    precision = tp / len(got) if got else 1.0
+    recall = tp / len(want) if want else 1.0
+    assert precision >= 0.95, f"precision {precision}: extra {got - want}"
+    assert recall >= 0.95, f"recall {recall}: missed {want - got}"
