@@ -51,6 +51,40 @@ def _timed(stage: str):
         file=sys.stderr, flush=True,
     )
 
+class _AsyncWrites:
+    """ONE background thread draining an ordered queue of bookkeeping
+    writes (manifest / lineage / prov / stats): they overlap the next
+    stage's distributed compute instead of serializing between stages
+    (round-3 VERDICT #5 — these boundaries were a measurable slice of
+    the data-volume-independent serial floor).  A single worker keeps
+    same-directory appends mutually ordered — two concurrent jobs
+    appending into one path would race the shared ``_temporary``
+    committer dir.  ``join()`` re-raises the first failure, so nothing
+    fails silently and the pipeline returns only once everything is
+    durable.  If a pipeline stage raises first, already-queued writes
+    simply drain in the background thread (they only touch this run's
+    output dir) while the stage error propagates."""
+
+    def __init__(self) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="gleaner-bookkeeping"
+        )
+        self._futures: list = []
+
+    def submit(self, fn) -> None:
+        self._futures.append(self._pool.submit(fn))
+
+    def join(self) -> None:
+        try:
+            for f in self._futures:
+                f.result()
+        finally:
+            self._futures.clear()
+            self._pool.shutdown(wait=True)
+
+
 from ..operators import manifest as mf
 from ..operators.link import link_stage
 from ..operators.provenance import org_triples, partition_lineage, prov_lineage
@@ -220,14 +254,21 @@ def run_pipeline(
     # handful of 64 MB files whose row groups bound downstream UDF
     # parallelism at ~8 tasks.  Only the query-facing triples table is
     # source-partitioned (partition pruning is worth it there).
+    aw = _AsyncWrites()
     with _timed("extract"):
         blocks = _persist(extract_stage(pages), base, "blocks", None,
                           write_mode)
-    with _timed("extract.manifest+lineage"):
-        mf.write_manifest(mf.build_extract_manifest(blocks, cfg.run_id), base)
-        partition_lineage(blocks, cfg.run_id, "extract").write.mode(
-            "append"
-        ).parquet(os.path.join(base, "lineage"))
+
+    def _extract_bookkeeping():
+        with _timed("extract.manifest+lineage"):
+            mf.write_manifest(
+                mf.build_extract_manifest(blocks, cfg.run_id), base
+            )
+            partition_lineage(blocks, cfg.run_id, "extract").write.mode(
+                "append"
+            ).parquet(os.path.join(base, "lineage"))
+
+    aw.submit(_extract_bookkeeping)
 
     # S2 normalize — persist the full per-block result ONCE (valid +
     # invalid rows); dedup and stats both derive from the read-back, so
@@ -250,11 +291,15 @@ def run_pipeline(
             pass
     with _timed("dedup"):
         docs = _persist(docs, base, "docs", None, write_mode)
-    with _timed("dedup.manifest+lineage"):
-        mf.write_manifest(mf.build_docs_manifest(docs, cfg.run_id), base)
-        partition_lineage(docs, cfg.run_id, "normalize").write.mode(
-            "append"
-        ).parquet(os.path.join(base, "lineage"))
+
+    def _docs_bookkeeping():
+        with _timed("dedup.manifest+lineage"):
+            mf.write_manifest(mf.build_docs_manifest(docs, cfg.run_id), base)
+            partition_lineage(docs, cfg.run_id, "normalize").write.mode(
+                "append"
+            ).parquet(os.path.join(base, "lineage"))
+
+    aw.submit(_docs_bookkeeping)
 
     # S3 mill — with the fused process UDF the quads already sit on the
     # docs table; the mill is a pure JVM explode + graph-URN concat.
@@ -287,23 +332,34 @@ def run_pipeline(
                            ["source"], write_mode)
     if raw_cached is not None:
         raw_cached.unpersist()
-    with _timed("materialize.lineage"):
-        partition_lineage(triples, cfg.run_id, "materialize").write.mode(
-            "append"
-        ).parquet(os.path.join(base, "lineage"))
 
-    # R5 prov lineage rows
-    with _timed("prov"):
-        prov_lineage(docs.filter(F.col("valid")), sources_dim, cfg.run_id,
-                     cfg.bucket).write.mode(write_mode).parquet(
-            os.path.join(base, "prov")
-        )
+    def _materialize_bookkeeping():
+        with _timed("materialize.lineage"):
+            partition_lineage(triples, cfg.run_id, "materialize").write.mode(
+                "append"
+            ).parquet(os.path.join(base, "lineage"))
+        # R5 prov lineage rows
+        with _timed("prov"):
+            prov_lineage(docs.filter(F.col("valid")), sources_dim,
+                         cfg.run_id, cfg.bucket).write.mode(
+                write_mode
+            ).parquet(os.path.join(base, "prov"))
+
+    aw.submit(_materialize_bookkeeping)
 
     stats = None
     if cfg.write_stats:
-        with _timed("stats"):
-            stats = run_stats(blocks, docs_all)
-            _write(stats, base, "stats")
+        stats = run_stats(blocks, docs_all)
+
+        def _stats_bookkeeping(stats=stats):
+            with _timed("stats"):
+                _write(stats, base, "stats")
+
+        aw.submit(_stats_bookkeeping)
+
+    # everything bookkeeping is durable (or raised) before we return
+    with _timed("bookkeeping.join"):
+        aw.join()
 
     return PipelineResult(
         blocks=blocks, docs=docs, triples=triples, stats=stats,
