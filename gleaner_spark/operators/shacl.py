@@ -11,9 +11,13 @@ table per shape: a semi-join for targeting, a conditional aggregation
 per property constraint, and (only when sh:class is used) one extra
 join against the type relation.
 
-Supported constraint subset: sh:targetClass, sh:property with sh:path,
+Supported constraints: sh:targetClass, sh:property with sh:path,
 sh:minCount, sh:maxCount, sh:nodeKind (IRI/Literal/BlankNode),
-sh:datatype, sh:class.  Shapes are supplied either as the relational
+sh:datatype, sh:class, sh:pattern, sh:hasValue, sh:node (recursive),
+and sh:or over value-level OR shape-valued alternatives (sh:class /
+sh:node / nested sh:path+count), in both the set form our mill emits
+for JSON-LD arrays and the spec's rdf:first/rdf:rest list form.
+Shapes are supplied either as the relational
 ``NodeShape`` objects or as a shapes graph in the pipeline's own
 serialized-triples form (e.g. a SHACL JSON-LD doc milled by
 ``core.mill``) via ``shapes_from_triples``.
@@ -44,9 +48,11 @@ class PropertyConstraint:
     pattern: str | None = None
     has_value: str | None = None    # sh:hasValue — serialized term that must occur
     node_shape: str | None = None   # sh:node — values must conform to this shape
-    #: sh:or — each value must satisfy ≥1 alternative; alternatives are
-    #: VALUE-level constraints (nodeKind/datatype/pattern) — the set
-    #: form our mill emits for SHACL JSON-LD arrays
+    #: sh:or — each value must satisfy ≥1 alternative.  Alternatives may
+    #: be value-level (nodeKind/datatype/pattern/hasValue — pure column
+    #: predicates), sh:class (value is an instance), sh:node (value
+    #: conforms to a referenced shape), or a nested property shape
+    #: (sh:path + min/maxCount evaluated with the VALUE as focus).
     or_alternatives: list["PropertyConstraint"] = field(default_factory=list)
 
 
@@ -195,23 +201,24 @@ def shapes_index_from_triples(shape_rows) -> dict[str, NodeShape]:
                         alt = PropertyConstraint(path="")
                         for apred, aobj in by_subj.get(anode, []):
                             fill(alt, apred, aobj)
-                        if alt.min_count or alt.max_count is not None \
-                                or alt.class_iri or alt.node_shape \
-                                or alt.has_value:
+                        if alt.path and not (
+                            alt.min_count or alt.max_count is not None
+                        ):
                             raise ValueError(
-                                "sh:or alternatives support only "
-                                "value-level constraints "
-                                "(nodeKind/datatype/pattern)"
+                                "sh:or property-shape alternative needs "
+                                "sh:minCount/sh:maxCount with its sh:path"
                             )
                         if not (alt.node_kind or alt.datatype
-                                or alt.pattern is not None):
+                                or alt.pattern is not None
+                                or alt.has_value or alt.class_iri
+                                or alt.node_shape or alt.path):
                             # fail-open guard: an alternative with no
                             # recognized constraint would evaluate to
                             # always-true and silently accept every
                             # value
                             raise ValueError(
                                 f"sh:or alternative {anode} carries no "
-                                "recognized value-level constraint"
+                                "recognized constraint"
                             )
                         c.or_alternatives.append(alt)
                 else:
@@ -219,7 +226,10 @@ def shapes_index_from_triples(shape_rows) -> dict[str, NodeShape]:
             if c.path:
                 # deterministic alternative order regardless of triple order
                 c.or_alternatives.sort(key=lambda a: (
-                    a.node_kind or "", a.datatype or "", a.pattern or ""))
+                    a.node_kind or "", a.datatype or "", a.pattern or "",
+                    a.has_value or "", a.class_iri or "",
+                    a.node_shape or "", a.path or "", a.min_count,
+                    -1 if a.max_count is None else a.max_count))
                 shape.properties.append(c)
         shapes[shape.shape_id] = shape
     return shapes
@@ -267,7 +277,8 @@ def _pattern_ok(pattern: str):
 
 def _alt_value_ok(c: PropertyConstraint):
     """Value-level predicate of ONE sh:or alternative over the serialized
-    object column (no path condition)."""
+    object column (no path condition).  sh:hasValue applied to a single
+    value node as focus degenerates to term equality."""
     ok = F.lit(True)
     if c.node_kind:
         ok &= _kind_ok(c.node_kind)
@@ -275,7 +286,96 @@ def _alt_value_ok(c: PropertyConstraint):
         ok &= _dt_ok(c.datatype)
     if c.pattern is not None:
         ok &= _pattern_ok(c.pattern)
+    if c.has_value is not None:
+        ok &= F.col("object") == c.has_value
     return ok
+
+
+def _alt_is_value_level(a: PropertyConstraint) -> bool:
+    """True when the alternative is a pure column predicate (no joins)."""
+    return not (a.class_iri or a.node_shape or a.path)
+
+
+def _or_bad_value_rows(
+    triples: DataFrame,
+    base: DataFrame,
+    c: PropertyConstraint,
+    shape_index: dict[str, NodeShape],
+    depth: int,
+):
+    """(subject, object) rows on ``c.path`` whose value fails EVERY
+    sh:or alternative — the join path used when any alternative is
+    shape-valued (sh:class / sh:node / nested sh:path+count, each
+    evaluated with the VALUE node as focus).  Value-level alternatives
+    fold in as one column predicate; each shape-valued alternative adds
+    one join against its satisfying-value set."""
+    vals = (
+        base.filter(F.col("predicate") == f"<{c.path}>")
+        .select("subject", "object")
+        .distinct()
+    )
+    ok = F.lit(False)
+    for a in c.or_alternatives:
+        if _alt_is_value_level(a):
+            ok = ok | _alt_value_ok(a)
+    vals = vals.withColumn("_ok", ok)
+    for k, a in enumerate(c.or_alternatives):
+        if _alt_is_value_level(a):
+            continue
+        if a.class_iri:
+            sat = _class_targets(triples, a.class_iri).select(
+                F.col("subject").alias("object")
+            )
+        elif a.node_shape:
+            ref = shape_index.get(a.node_shape)
+            if ref is None:
+                raise ValueError(
+                    f"sh:node references unknown shape {a.node_shape}"
+                )
+            focus = vals.select(F.col("object").alias("subject")).distinct()
+            sub = _conformance_for_targets(
+                triples, ref, focus, shape_index, depth + 1
+            )
+            sat = sub.filter(F.col("conforms")).select(
+                F.col("subject").alias("object")
+            )
+        else:
+            # nested property shape: count of a.path values per VALUE
+            # node, compared against the alternative's min/max
+            cnt = (
+                triples.filter(F.col("predicate") == f"<{a.path}>")
+                .groupBy("subject")
+                .agg(F.count("*").alias("_n"))
+                .select(F.col("subject").alias("object"), "_n")
+            )
+            cond = F.col("_n") >= a.min_count
+            if a.max_count is not None:
+                cond &= F.col("_n") <= a.max_count
+            if a.min_count == 0:
+                # zero-count values (absent from cnt) satisfy min=0 —
+                # only counted values breaking the max violate
+                sat = (
+                    vals.select("object").distinct()
+                    .join(cnt.filter(~cond).select("object"),
+                          "object", "left_anti")
+                )
+            else:
+                sat = cnt.filter(cond).select("object")
+        flag = f"_alt{k}"
+        vals = (
+            vals.join(
+                sat.dropDuplicates(["object"]).withColumn(flag, F.lit(True)),
+                "object", "left",
+            )
+            .withColumn("_ok", F.col("_ok") | F.coalesce(F.col(flag),
+                                                         F.lit(False)))
+            .drop(flag)
+        )
+    return vals.filter(~F.col("_ok")).select("subject", "object")
+
+
+def _or_is_value_level(c: PropertyConstraint) -> bool:
+    return all(_alt_is_value_level(a) for a in c.or_alternatives)
 
 
 def _or_fails(c: PropertyConstraint):
@@ -411,7 +511,10 @@ def _conformance_for_targets(
             aggs.append(F.sum((
                 on_path & (F.col("object") == c.has_value)
             ).cast("int")).alias(f"hv{i}"))
-        if c.or_alternatives:
+        if c.or_alternatives and _or_is_value_level(c):
+            # pure column-predicate alternatives fold into the single
+            # aggregation pass; shape-valued ones go through the join
+            # path in the bads loop below
             aggs.append(F.sum((
                 on_path & _or_fails(c)
             ).cast("int")).alias(f"orbad{i}"))
@@ -439,7 +542,7 @@ def _conformance_for_targets(
         if c.has_value is not None:
             conforms = conforms & (F.coalesce(F.col(f"hv{i}"),
                                               F.lit(0)) >= 1)
-        if c.or_alternatives:
+        if c.or_alternatives and _or_is_value_level(c):
             conforms = conforms & (F.coalesce(F.col(f"orbad{i}"),
                                               F.lit(0)) == 0)
     res = per.select(
@@ -448,6 +551,12 @@ def _conformance_for_targets(
     )
     for c in shape.properties:
         bads = []
+        if c.or_alternatives and not _or_is_value_level(c):
+            bads.append(
+                _or_bad_value_rows(triples, base, c, shape_index, depth)
+                .select("subject")
+                .distinct()
+            )
         if c.class_iri:
             # sh:class: every value must be an instance of the class
             instances = _class_targets(triples, c.class_iri).select(
@@ -577,7 +686,14 @@ def shape_validation_report(
                 _vio(targets.join(holders, "subject", "left_anti"),
                      shape, c.path, "HasValue")
             if c.or_alternatives:
-                _vio(on_path.filter(_or_fails(c)), shape, c.path, "Or")
+                if _or_is_value_level(c):
+                    _vio(on_path.filter(_or_fails(c)), shape, c.path, "Or")
+                else:
+                    _vio(
+                        _or_bad_value_rows(triples, base, c,
+                                           shape_index or {}, depth=1),
+                        shape, c.path, "Or",
+                    )
             if c.class_iri is not None:
                 instances = (
                     triples.filter(

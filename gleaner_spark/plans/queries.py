@@ -2237,7 +2237,10 @@ KG_REPORT_SHAPES_JSONLD = (
     '   {"sh:path": {"@id": "schema:creator"}, "sh:class": {"@id": "schema:Person"},'
     '    "sh:node": {"@id": "https://example.org/shapes/PersonShape"}},'
     '   {"sh:path": {"@id": "schema:ref"}, "sh:or": ['
-    '     {"sh:nodeKind": {"@id": "sh:IRI"}}, {"sh:pattern": "^ok:"}]}]},'
+    '     {"sh:nodeKind": {"@id": "sh:IRI"}}, {"sh:pattern": "^ok:"}]},'
+    '   {"sh:path": {"@id": "schema:funder"}, "sh:or": ['
+    '     {"sh:pattern": "^fund:"},'
+    '     {"sh:class": {"@id": "schema:Person"}}]}]},'
     ' {"@id": "https://example.org/shapes/PersonShape",'
     '  "@type": "sh:NodeShape",'
     '  "sh:property": ['
@@ -2320,6 +2323,15 @@ def q_kg_shape_report(spark, sf_dir):
                   F.concat(F.lit("<https://ref.example.org/"), did,
                            F.lit(">")))
             .otherwise(F.concat(F.lit('"ok:'), did, F.lit('"')))))
+        # funder: SHAPE-VALUED sh:or (pattern OR sh:class Person) —
+        # %10==0 docs fund via a "fund:" literal (pattern alt), the
+        # rest via the person IRI, which is Person-typed only for
+        # %8!=0 → %8==0 ∧ %10!=0 violates both alternatives
+        .unionByName(rows(
+            d, s, "<https://schema.org/funder>",
+            F.when(F.col("doc_id") % 10 == 0,
+                   F.concat(F.lit('"fund:x'), did, F.lit('"')))
+            .otherwise(person)))
     )
     from ..functions.barrier import reliable_ckpt
 
@@ -2367,6 +2379,10 @@ union all
 select f, 'https://schema.org/ref',
        'http://www.w3.org/ns/shacl#OrConstraintComponent'
 from e where doc_id % 11 = 0
+union all
+select f, 'https://schema.org/funder',
+       'http://www.w3.org/ns/shacl#OrConstraintComponent'
+from e where doc_id % 8 = 0 and doc_id % 10 <> 0
 """
 
 

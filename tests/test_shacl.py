@@ -318,7 +318,7 @@ def test_sh_or_constraintless_alternative_raises():
         ("_:p", f"<{sh}or>", "_:empty"),
         # _:empty has no triples at all — the fail-open shape
     ]
-    with pytest.raises(ValueError, match="no recognized value-level"):
+    with pytest.raises(ValueError, match="no recognized constraint"):
         shapes_from_triples(rows)
 
 
@@ -403,3 +403,118 @@ def test_pattern_matches_unescaped_lexical_form_and_iris(spark):
     got_iri = {r.subject: r.conforms
                for r in shape_conformance(t, [iri_shape]).collect()}
     assert got_iri == {"<a>": True, "<b>": False, "<c>": True}
+
+
+def test_sh_or_shape_valued_alternatives(spark):
+    """sh:or alternatives beyond value level: sh:class, sh:node, and a
+    nested property shape (sh:path+minCount with the VALUE as focus) —
+    previously these raised; each value must satisfy >=1 alternative."""
+    from gleaner_spark.operators.shacl import (
+        shape_conformance, shape_validation_report,
+    )
+
+    person = f"<{SCHEMA}Person>"
+    rows = [
+        # shared instance data
+        ("<p1>", T, person),
+        ("<p1>", f"<{SCHEMA}name>", '"P One"'),
+        ("<bare>", f"<{SCHEMA}name>", '"Bare Named"'),  # named, untyped
+        # a: creator is a typed Person → sh:class alternative
+        ("<a>", T, f"<{SCHEMA}Dataset>"),
+        ("<a>", f"<{SCHEMA}creator>", "<p1>"),
+        # b: creator literal matching ^text: → value-level alternative
+        ("<b>", T, f"<{SCHEMA}Dataset>"),
+        ("<b>", f"<{SCHEMA}creator>", '"text:somebody"'),
+        # c: creator untyped but has a name → nested path+minCount alt
+        ("<c>", T, f"<{SCHEMA}Dataset>"),
+        ("<c>", f"<{SCHEMA}creator>", "<bare>"),
+        # d: creator fails every alternative
+        ("<d>", T, f"<{SCHEMA}Dataset>"),
+        ("<d>", f"<{SCHEMA}creator>", "<nobody>"),
+    ]
+    shape = NodeShape(
+        "S", SCHEMA + "Dataset",
+        [PropertyConstraint(
+            path=SCHEMA + "creator",
+            min_count=1,
+            or_alternatives=[
+                PropertyConstraint(path="", pattern="^text:"),
+                PropertyConstraint(path="", class_iri=SCHEMA + "Person"),
+                PropertyConstraint(path=SCHEMA + "name", min_count=1),
+            ],
+        )],
+    )
+    t = _triples(spark, rows)
+    got = {r.subject: r.conforms
+           for r in shape_conformance(t, [shape]).collect()}
+    assert got == {"<a>": True, "<b>": True, "<c>": True, "<d>": False}
+    rep = shape_validation_report(t, [shape]).collect()
+    assert {(r.focus_node, r.constraint_component.rsplit("#")[-1])
+            for r in rep} == {("<d>", "OrConstraintComponent")}
+
+
+def test_sh_or_node_alternative(spark):
+    """sh:node inside sh:or: the value conforms to the referenced shape
+    OR matches the value-level alternative."""
+    from gleaner_spark.operators.shacl import shape_conformance
+
+    strict = NodeShape(
+        "https://ex.org/Strict", "",
+        [PropertyConstraint(SCHEMA + "name", min_count=2)],
+    )
+    rows = [
+        ("<two>", f"<{SCHEMA}name>", '"n1"'),
+        ("<two>", f"<{SCHEMA}name>", '"n2"'),
+        ("<one>", f"<{SCHEMA}name>", '"only"'),
+        ("<a>", T, f"<{SCHEMA}Dataset>"),
+        ("<a>", f"<{SCHEMA}ref>", "<two>"),      # conforms to Strict
+        ("<b>", T, f"<{SCHEMA}Dataset>"),
+        ("<b>", f"<{SCHEMA}ref>", '"ok:lit"'),   # value-level alt
+        ("<c>", T, f"<{SCHEMA}Dataset>"),
+        ("<c>", f"<{SCHEMA}ref>", "<one>"),      # fails both
+    ]
+    shape = NodeShape(
+        "S", SCHEMA + "Dataset",
+        [PropertyConstraint(
+            path=SCHEMA + "ref",
+            min_count=1,
+            or_alternatives=[
+                PropertyConstraint(path="", pattern="^ok:"),
+                PropertyConstraint(path="", node_shape="https://ex.org/Strict"),
+            ],
+        )],
+    )
+    idx = {"https://ex.org/Strict": strict}
+    got = {r.subject: r.conforms
+           for r in shape_conformance(_triples(spark, rows), [shape],
+                                      idx).collect()}
+    assert got == {"<a>": True, "<b>": True, "<c>": False}
+
+
+def test_sh_or_hasvalue_alternative(spark):
+    """sh:hasValue inside sh:or degenerates to term equality on the
+    value node."""
+    from gleaner_spark.operators.shacl import shape_conformance
+
+    rows = [
+        ("<a>", T, f"<{SCHEMA}Dataset>"),
+        ("<a>", f"<{SCHEMA}license>", "<https://ex.org/CC0>"),
+        ("<b>", T, f"<{SCHEMA}Dataset>"),
+        ("<b>", f"<{SCHEMA}license>", '"custom:mine"'),
+        ("<c>", T, f"<{SCHEMA}Dataset>"),
+        ("<c>", f"<{SCHEMA}license>", "<https://ex.org/Proprietary>"),
+    ]
+    shape = NodeShape(
+        "S", SCHEMA + "Dataset",
+        [PropertyConstraint(
+            path=SCHEMA + "license",
+            min_count=1,
+            or_alternatives=[
+                PropertyConstraint(path="", has_value="<https://ex.org/CC0>"),
+                PropertyConstraint(path="", pattern="^custom:"),
+            ],
+        )],
+    )
+    got = {r.subject: r.conforms
+           for r in shape_conformance(_triples(spark, rows), [shape]).collect()}
+    assert got == {"<a>": True, "<b>": True, "<c>": False}
