@@ -1420,12 +1420,15 @@ group by label, dim order by label, dim
 """
 
 
-def q_ann_ivf_probe(spark, sf_dir):
+def q_ann_ivf_probe(spark, sf_dir, nprobe: int = 2):
     """IVF-style ANN: per-label centroids are the coarse quantizer; the
-    query probes its 2 nearest cells and brute-forces only inside them —
-    the candidate set shrinks by |cells|/nprobe, and at scale the cell id
-    becomes the partition key.  Fully JVM-side (posexplode + groupBy for
-    the centroid build, zip_with/aggregate cosine)."""
+    query probes its ``nprobe`` nearest cells (default 2) and
+    brute-forces only inside them — the candidate set shrinks by
+    |cells|/nprobe, and at scale the cell id becomes the partition key.
+    ``nprobe`` is the recall-vs-cost lever (swept with a measured
+    recall@10 curve in tests/test_plans.py).  Fully JVM-side
+    (posexplode + groupBy for the centroid build, zip_with/aggregate
+    cosine)."""
     e = _load(spark, sf_dir, "embeddings")
     cent = (
         e.select("label", F.posexplode("embedding").alias("dim", "v"))
@@ -1446,7 +1449,7 @@ def q_ann_ivf_probe(spark, sf_dir):
         cent.crossJoin(F.broadcast(q))
         .withColumn("cdist", F.round(F.expr(_cosine_expr("centroid", "qv")), 6))
         .orderBy(F.desc("cdist"), F.asc("label"))
-        .limit(2)
+        .limit(nprobe)
         .select("label")
     )
     cands = e.join(F.broadcast(probed), "label").filter(F.col("vec_id") != 0)

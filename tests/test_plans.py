@@ -255,3 +255,29 @@ def test_sign_lsh_bits_scale_with_corpus(spark):
         kept = cap_buckets(eb, ["bucket"], SIGN_LSH_MAX_BUCKET).count()
         dropped_frac = (n - kept) / n
         assert dropped_frac < 0.05, (n, dropped_frac)
+
+
+def test_ann_ivf_nprobe_recall_sweep(spark):
+    """The IVF nprobe recall-vs-cost lever, MEASURED: recall@10 against
+    the exact brute-force top-10 must be monotone non-decreasing in
+    nprobe and reach 1.0 when every cell is probed (IVF with all cells
+    == brute force).  The label quantizer partitions the space
+    arbitrarily (labels are not embedding clusters), so expected recall
+    at nprobe of 10 cells is ~nprobe/10 — assert at least half that;
+    the TRAINED quantizer (ann_ivf_kmeans) is the quality path."""
+    from gleaner_spark.plans.queries import (
+        q_ann_ivf_probe, q_ann_topk_bruteforce,
+    )
+
+    exact = {r.vec_id for r in q_ann_topk_bruteforce(spark, SF).collect()}
+    assert len(exact) == 10
+    recalls = []
+    for nprobe in (1, 2, 4, 10):
+        got = {r.vec_id
+               for r in q_ann_ivf_probe(spark, SF, nprobe=nprobe).collect()}
+        recalls.append((nprobe, len(got & exact) / len(exact)))
+    rs = [r for _, r in recalls]
+    assert rs == sorted(rs), recalls
+    assert rs[-1] == 1.0, recalls       # all cells probed == exact
+    for nprobe, r in recalls:
+        assert r >= (nprobe / 10) / 2, recalls
