@@ -208,6 +208,17 @@ def shapes_index_from_triples(shape_rows) -> dict[str, NodeShape]:
                                 "sh:or property-shape alternative needs "
                                 "sh:minCount/sh:maxCount with its sh:path"
                             )
+                        if not alt.path and (
+                            alt.min_count or alt.max_count is not None
+                        ):
+                            # fail-open guard: counts without a path
+                            # have nothing to count — dropping them
+                            # would evaluate the alternative weaker
+                            # than the shapes graph states
+                            raise ValueError(
+                                "sh:minCount/sh:maxCount in an sh:or "
+                                "alternative requires sh:path"
+                            )
                         if not (alt.node_kind or alt.datatype
                                 or alt.pattern is not None
                                 or alt.has_value or alt.class_iri
@@ -279,6 +290,14 @@ def _alt_value_ok(c: PropertyConstraint):
     """Value-level predicate of ONE sh:or alternative over the serialized
     object column (no path condition).  sh:hasValue applied to a single
     value node as focus degenerates to term equality."""
+    if not c.path and (c.min_count or c.max_count is not None):
+        # evaluation-time guard for hand-built PropertyConstraint
+        # alternatives that bypass the parser: counts without a path
+        # have nothing to count and would otherwise be dropped silently
+        raise ValueError(
+            "sh:minCount/sh:maxCount in an sh:or alternative requires "
+            "sh:path"
+        )
     ok = F.lit(True)
     if c.node_kind:
         ok &= _kind_ok(c.node_kind)
@@ -315,18 +334,19 @@ def _or_bad_value_rows(
         .distinct()
     )
     ok = F.lit(False)
-    for a in c.or_alternatives:
-        if _alt_is_value_level(a):
-            ok = ok | _alt_value_ok(a)
-    vals = vals.withColumn("_ok", ok)
     for k, a in enumerate(c.or_alternatives):
-        if _alt_is_value_level(a):
-            continue
+        # EVERY constraint the alternative carries must hold — the
+        # value-level parts as a column predicate, each shape-valued
+        # part as one join flag.  A mixed alternative (e.g. nodeKind
+        # IRI + sh:class) previously evaluated only one of its parts —
+        # the fail-open class the parser guards exist to prevent.
+        alt_ok = _alt_value_ok(a)
+        sats: list[DataFrame] = []
         if a.class_iri:
-            sat = _class_targets(triples, a.class_iri).select(
+            sats.append(_class_targets(triples, a.class_iri).select(
                 F.col("subject").alias("object")
-            )
-        elif a.node_shape:
+            ))
+        if a.node_shape:
             ref = shape_index.get(a.node_shape)
             if ref is None:
                 raise ValueError(
@@ -336,10 +356,10 @@ def _or_bad_value_rows(
             sub = _conformance_for_targets(
                 triples, ref, focus, shape_index, depth + 1
             )
-            sat = sub.filter(F.col("conforms")).select(
+            sats.append(sub.filter(F.col("conforms")).select(
                 F.col("subject").alias("object")
-            )
-        else:
+            ))
+        if a.path:
             # nested property shape: count of a.path values per VALUE
             # node, compared against the alternative's min/max
             cnt = (
@@ -354,23 +374,22 @@ def _or_bad_value_rows(
             if a.min_count == 0:
                 # zero-count values (absent from cnt) satisfy min=0 —
                 # only counted values breaking the max violate
-                sat = (
+                sats.append(
                     vals.select("object").distinct()
                     .join(cnt.filter(~cond).select("object"),
                           "object", "left_anti")
                 )
             else:
-                sat = cnt.filter(cond).select("object")
-        flag = f"_alt{k}"
-        vals = (
-            vals.join(
+                sats.append(cnt.filter(cond).select("object"))
+        for j, sat in enumerate(sats):
+            flag = f"_alt{k}_{j}"
+            vals = vals.join(
                 sat.dropDuplicates(["object"]).withColumn(flag, F.lit(True)),
                 "object", "left",
             )
-            .withColumn("_ok", F.col("_ok") | F.coalesce(F.col(flag),
-                                                         F.lit(False)))
-            .drop(flag)
-        )
+            alt_ok = alt_ok & F.coalesce(F.col(flag), F.lit(False))
+        ok = ok | alt_ok
+    vals = vals.withColumn("_ok", ok)
     return vals.filter(~F.col("_ok")).select("subject", "object")
 
 
@@ -689,9 +708,12 @@ def shape_validation_report(
                 if _or_is_value_level(c):
                     _vio(on_path.filter(_or_fails(c)), shape, c.path, "Or")
                 else:
+                    # depth=0: the report evaluates the target shape at
+                    # top level exactly like shape_conformance, so both
+                    # entry points accept the same sh:node chain depth
                     _vio(
                         _or_bad_value_rows(triples, base, c,
-                                           shape_index or {}, depth=1),
+                                           shape_index or {}, depth=0),
                         shape, c.path, "Or",
                     )
             if c.class_iri is not None:

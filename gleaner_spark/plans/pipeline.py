@@ -12,6 +12,7 @@ Iceberg catalog unchanged; see sources/tables.py).
 
 from __future__ import annotations
 
+import logging
 import os
 import sys
 import time
@@ -19,6 +20,8 @@ from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+logger = logging.getLogger(__name__)
 
 
 @contextmanager
@@ -84,6 +87,22 @@ class _AsyncWrites:
             self._futures.clear()
             self._pool.shutdown(wait=True)
 
+    def abort(self) -> None:
+        """Failure-path teardown: cancel what hasn't started, wait out
+        what has (a half-written manifest would be worse than a slow
+        error path), log — never raise — bookkeeping errors so the
+        original stage exception stays the one the caller sees."""
+        for f in self._futures:
+            f.cancel()
+        self._pool.shutdown(wait=True)
+        for f in self._futures:
+            if f.done() and not f.cancelled() and f.exception() is not None:
+                logger.warning(
+                    "bookkeeping write failed during abort: %s",
+                    f.exception(),
+                )
+        self._futures.clear()
+
 
 from ..operators import manifest as mf
 from ..operators.link import link_stage
@@ -135,26 +154,32 @@ def iceberg_catalog(spark: SparkSession) -> tuple[str, str] | None:
     return None
 
 
+#: sentinel: _write/_persist resolve the catalog themselves only when
+#: the caller didn't already (run_pipeline resolves once per run)
+_CAT_AUTO = "auto"
+
+
 def _write_iceberg(df: DataFrame, cat: tuple[str, str], name: str,
                    partition_by: list[str] | None, mode: str) -> str:
     """DataFrameWriterV2 path for a configured Iceberg catalog: append
-    the delta in diff mode, dynamic ``overwritePartitions`` for a full
-    refresh of a partitioned table, snapshot ``createOrReplace``
-    otherwise.  Returns the table identifier for read-back."""
+    the delta in diff mode, snapshot ``createOrReplace`` for a full
+    refresh (the parquet stand-in's mode('overwrite') truncates, so the
+    two deployments agree — a source dropped from the input disappears
+    from the table either way), and explicit mode
+    ``'overwrite_partitions'`` for Iceberg's dynamic partition
+    overwrite when a caller wants partitions absent from this run kept.
+    Returns the table identifier for read-back."""
     catalog, ns = cat
     table = f"{catalog}.{ns}.{name}"
     spark = df.sparkSession
-    exists = spark.catalog.tableExists(table)
-    if not exists:
+    if not spark.catalog.tableExists(table):
         w = df.writeTo(table)
         if partition_by:
             w = w.partitionedBy(*[F.col(c) for c in partition_by])
         w.create()
     elif mode == "append":
         df.writeTo(table).append()
-    elif partition_by:
-        # full refresh of a partitioned table: replace exactly the
-        # partitions this run produced, atomically, and keep others
+    elif mode == "overwrite_partitions":
         df.writeTo(table).overwritePartitions()
     else:
         df.writeTo(table).createOrReplace()
@@ -162,17 +187,22 @@ def _write_iceberg(df: DataFrame, cat: tuple[str, str], name: str,
 
 
 def _write(df: DataFrame, base: str, name: str,
-           partition_by: list[str] | None = None, mode: str = "overwrite"):
+           partition_by: list[str] | None = None, mode: str = "overwrite",
+           cat=_CAT_AUTO):
     """Stage persistence.  With an Iceberg catalog configured the stage
-    tables are real catalog tables (append / overwritePartitions /
-    createOrReplace via DataFrameWriterV2); without one — this sandbox —
-    plain parquet directories stand in with the same overwrite/append
-    semantics."""
-    cat = iceberg_catalog(df.sparkSession)
+    tables are real catalog tables (append / createOrReplace /
+    overwrite_partitions via DataFrameWriterV2); without one — this
+    sandbox — plain parquet directories stand in with the same
+    overwrite/append semantics."""
+    if cat is _CAT_AUTO:
+        cat = iceberg_catalog(df.sparkSession)
     if cat is not None:
         _write_iceberg(df, cat, name, partition_by, mode)
         return
-    w = df.write.mode(mode)
+    w = df.write.mode("overwrite" if mode == "overwrite_partitions" else mode)
+    if mode == "overwrite_partitions":
+        # parquet equivalent of Iceberg's dynamic partition overwrite
+        w = w.option("partitionOverwriteMode", "dynamic")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(os.path.join(base, name))
@@ -180,7 +210,7 @@ def _write(df: DataFrame, base: str, name: str,
 
 def _persist(df: DataFrame, base: str, name: str,
              partition_by: list[str] | None = None,
-             mode: str = "overwrite") -> DataFrame:
+             mode: str = "overwrite", cat=_CAT_AUTO) -> DataFrame:
     """Write the stage output and return a DataFrame reading it back —
     ONE materialization pass per stage (localCheckpoint + write was two),
     and downstream stages scan columnar parquet with pruning instead of
@@ -194,10 +224,11 @@ def _persist(df: DataFrame, base: str, name: str,
         from ..functions.barrier import reliable_ckpt
 
         df = reliable_ckpt(df)
-        _write(df, base, name, partition_by, mode)
+        _write(df, base, name, partition_by, mode, cat)
         return df
-    _write(df, base, name, partition_by, mode)
-    cat = iceberg_catalog(df.sparkSession)
+    if cat is _CAT_AUTO:
+        cat = iceberg_catalog(df.sparkSession)
+    _write(df, base, name, partition_by, mode, cat)
     if cat is not None:
         table = f"{cat[0]}.{cat[1]}.{name}"
         return df.sparkSession.read.table(table).select(*df.columns)
@@ -212,7 +243,29 @@ def run_pipeline(
     sources_dim: DataFrame | None,
     cfg: PipelineConfig,
 ) -> PipelineResult:
+    aw = _AsyncWrites()
+    try:
+        return _run_pipeline(spark, pages, sources_dim, cfg, aw)
+    except BaseException:
+        # tear the bookkeeping thread down on the failure path too —
+        # without this a failed run leaked the worker thread and
+        # swallowed queued-write errors forever (review finding)
+        aw.abort()
+        raise
+
+
+def _run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    sources_dim: DataFrame | None,
+    cfg: PipelineConfig,
+    aw: _AsyncWrites,
+) -> PipelineResult:
     base = cfg.output_dir
+    # resolve the Iceberg catalog ONCE — iceberg_catalog() collects the
+    # session conf listing, and per-_write re-resolution added ~a dozen
+    # driver round-trips per run (review finding)
+    cat = iceberg_catalog(spark)
     # V2 preflight (check.go:14-118 analogue): schema + writability
     # validation before any distributed work or directory creation
     from .preflight import preflight_checks
@@ -224,17 +277,16 @@ def run_pipeline(
     if cfg.mode == "diff":
         manifest = mf.read_manifest(spark, base)
         if manifest is not None:
-            # skip metric from the (small) manifest side only — counting
-            # `pages` before AND after the anti-join scanned an arbitrary
-            # input relation twice just for a number (round-3 VERDICT
-            # #3).  Semantics: urls a prior run completed; if the new
-            # input dropped some of those urls this overstates by that
-            # many, which the reference's KV bookkeeping shares.
-            skipped = (
+            done = (
                 manifest.filter(F.col("stage") == "extract")
-                .select("url").distinct().count()
+                .select("url").distinct()
             )
-            pages = mf.resume_filter(pages, manifest, "extract")
+            # exact skip metric in ONE pass over pages (semi-join count)
+            # — the original double pages.count() scanned twice, and a
+            # manifest-side count overstated on shrinking inputs
+            # (review finding)
+            skipped = pages.join(done, "url", "left_semi").count()
+            pages = pages.join(done, "url", "left_anti")
 
     pages = with_source(pages, sources_dim)
     if cfg.salt_partitions:
@@ -254,10 +306,9 @@ def run_pipeline(
     # handful of 64 MB files whose row groups bound downstream UDF
     # parallelism at ~8 tasks.  Only the query-facing triples table is
     # source-partitioned (partition pruning is worth it there).
-    aw = _AsyncWrites()
     with _timed("extract"):
         blocks = _persist(extract_stage(pages), base, "blocks", None,
-                          write_mode)
+                          write_mode, cat)
 
     def _extract_bookkeeping():
         with _timed("extract.manifest+lineage"):
@@ -275,13 +326,12 @@ def run_pipeline(
     # the expensive pyld UDF runs exactly one pass over the data
     with _timed("normalize"):
         docs_all = _persist(normalize_stage(blocks), base, "processed",
-                            None, write_mode)
+                            None, write_mode, cat)
     docs = dedup_docs(docs_all)
     if cfg.mode == "diff":
         # cross-run content dedup: drop docs whose sha an earlier run
         # already stored (same JSON-LD reached via a new URL)
         try:
-            cat = iceberg_catalog(spark)
             prior = (
                 spark.read.table(f"{cat[0]}.{cat[1]}.docs") if cat
                 else spark.read.parquet(os.path.join(base, "docs"))
@@ -290,7 +340,7 @@ def run_pipeline(
         except Exception:
             pass
     with _timed("dedup"):
-        docs = _persist(docs, base, "docs", None, write_mode)
+        docs = _persist(docs, base, "docs", None, write_mode, cat)
 
     def _docs_bookkeeping():
         with _timed("dedup.manifest+lineage"):
@@ -317,7 +367,8 @@ def run_pipeline(
     # rewrites, union) and re-decompressing parquet per scan measured
     # 2.5× slower than memory-resident scans.
     with _timed("mill"):
-        triples = _persist(triples, base, "raw_triples", None, write_mode)
+        triples = _persist(triples, base, "raw_triples", None, write_mode,
+                           cat)
 
     # S4 entity linking (cache released after the final materialize)
     raw_cached = None
@@ -329,7 +380,7 @@ def run_pipeline(
     # S5 materialize
     with _timed("materialize"):
         triples = _persist(materialize_triples(triples), base, "triples",
-                           ["source"], write_mode)
+                           ["source"], write_mode, cat)
     if raw_cached is not None:
         raw_cached.unpersist()
 
@@ -353,7 +404,7 @@ def run_pipeline(
 
         def _stats_bookkeeping(stats=stats):
             with _timed("stats"):
-                _write(stats, base, "stats")
+                _write(stats, base, "stats", cat=cat)
 
         aw.submit(_stats_bookkeeping)
 

@@ -1141,23 +1141,6 @@ def q_ann_topk_bruteforce(spark, sf_dir):
     return _ranked_topk(scored, ["vec_id", "cos_sim", "rnk"], k=10)
 
 
-O_ANN_TOPK = """
-with q as (select embedding::DOUBLE[] as qv from embeddings where vec_id = 0),
-scored as (
-  select vec_id,
-         round(list_dot_product(embedding::DOUBLE[], qv)
-               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-                  * sqrt(list_dot_product(qv, qv))), 6) as cos_sim
-  from embeddings, q where vec_id <> 0
-)
-select vec_id, cos_sim, rnk from (
-  select vec_id, cos_sim,
-         row_number() over (order by cos_sim desc, vec_id asc) as rnk
-  from scored
-) where rnk <= 10
-"""
-
-
 def q_ann_topk_vectorized(spark, sf_dir):
     """Same semantics as ann_topk_bruteforce, scored on the Arrow/NumPy
     path (functions/vecmath.py: one BLAS matrix-vector product per Arrow
@@ -1342,10 +1325,13 @@ def q_dedup_embedding_cosine(spark, sf_dir):
             " array(-element_at(embedding, -1)))"
         ).alias("embedding"),
     )
+    n_base = e.count()  # base-table count only: counting the union
+    # would re-run the mutant transform in an extra full pass (review
+    # finding); the dup corpus is exactly 2× the base by construction
     e = e.unionByName(mutant)
     from ..functions.minhash import cap_buckets
 
-    bits = _sign_lsh_bits(e.count())
+    bits = _sign_lsh_bits(2 * n_base)
     eb = e.select("vec_id", "embedding",
                   _sign_bucket_expr(bits).alias("bucket"))
     eb = cap_buckets(eb, ["bucket"], SIGN_LSH_MAX_BUCKET)

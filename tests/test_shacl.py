@@ -518,3 +518,47 @@ def test_sh_or_hasvalue_alternative(spark):
     got = {r.subject: r.conforms
            for r in shape_conformance(_triples(spark, rows), [shape]).collect()}
     assert got == {"<a>": True, "<b>": True, "<c>": False}
+
+
+def test_sh_or_mixed_alternative_ands_all_constraints(spark):
+    """Review finding: an alternative carrying BOTH value-level and
+    shape-valued constraints must require all of them — nodeKind IRI +
+    sh:class Person is satisfied only by Person-typed IRIs, and a
+    count constraint without a path raises instead of being dropped."""
+    from gleaner_spark.operators.shacl import shape_conformance
+
+    person = f"<{SCHEMA}Person>"
+    rows = [
+        ("<p1>", T, person),
+        ("<a>", T, f"<{SCHEMA}Dataset>"),
+        ("<a>", f"<{SCHEMA}creator>", "<p1>"),       # IRI AND Person
+        ("<b>", T, f"<{SCHEMA}Dataset>"),
+        ("<b>", f"<{SCHEMA}creator>", "<untyped>"),  # IRI but not Person
+        ("<c>", T, f"<{SCHEMA}Dataset>"),
+        ("<c>", f"<{SCHEMA}creator>", '"fallback"'),  # literal alt
+    ]
+    shape = NodeShape(
+        "S", SCHEMA + "Dataset",
+        [PropertyConstraint(
+            path=SCHEMA + "creator", min_count=1,
+            or_alternatives=[
+                PropertyConstraint(path="", node_kind="IRI",
+                                   class_iri=SCHEMA + "Person"),
+                PropertyConstraint(path="", node_kind="Literal"),
+            ],
+        )],
+    )
+    got = {r.subject: r.conforms
+           for r in shape_conformance(_triples(spark, rows), [shape]).collect()}
+    assert got == {"<a>": True, "<b>": False, "<c>": True}
+
+    bad = NodeShape(
+        "S2", SCHEMA + "Dataset",
+        [PropertyConstraint(
+            path=SCHEMA + "creator",
+            or_alternatives=[PropertyConstraint(path="", node_kind="IRI",
+                                                min_count=5)],
+        )],
+    )
+    with pytest.raises(ValueError, match="requires\\s+sh:path"):
+        shape_conformance(_triples(spark, rows), [bad]).collect()
