@@ -222,13 +222,16 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm-up: one JVM-side query AND one pandas-UDF query (at the tiny
+    # sf0.001 tables) — python-worker cold start is ~3.4 s of kernel-bound
+    # `import pandas` per worker and would otherwise land on whichever
+    # UDF query happens to run first
+    QUERIES[HEADLINE[0]][0](spark, sf_dir).count()
+    QUERIES["kg_extract_mill"][0](spark, "/root/testdata/sf0.001").count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name][0]
-        # warm-up pass materializes python workers / broadcast state so the
-        # recorded number is steady-state query latency
-        if name == HEADLINE[0]:
-            fn(spark, sf_dir).count()
         t0 = time.time()
         df = fn(spark, sf_dir)
         n = df.count()
