@@ -518,3 +518,28 @@ def test_entity_linking_labeled_precision_recall(spark):
     recall = tp / len(want) if want else 1.0
     assert precision >= 0.95, f"precision {precision}: extra {got - want}"
     assert recall >= 0.95, f"recall {recall}: missed {want - got}"
+
+
+def test_async_writes_join_raises_and_abort_swallows(caplog):
+    """_AsyncWrites contract: join() re-raises the first queued-write
+    failure (nothing fails silently); abort() — the pipeline failure
+    path — drains without raising and logs the write error instead of
+    masking the original stage exception."""
+    import logging
+
+    from gleaner_spark.plans.pipeline import _AsyncWrites
+
+    aw = _AsyncWrites()
+    order = []
+    aw.submit(lambda: order.append("a"))
+    aw.submit(lambda: (_ for _ in ()).throw(RuntimeError("manifest boom")))
+    with pytest.raises(RuntimeError, match="manifest boom"):
+        aw.join()
+    assert order == ["a"]  # ordered single worker ran the first write
+
+    aw2 = _AsyncWrites()
+    aw2.submit(lambda: (_ for _ in ()).throw(RuntimeError("lineage boom")))
+    with caplog.at_level(logging.WARNING,
+                         logger="gleaner_spark.plans.pipeline"):
+        aw2.abort()  # must not raise
+    assert any("lineage boom" in r.message for r in caplog.records)
