@@ -201,6 +201,41 @@ def _run_pipeline(cores: int, n_pages: int, shuffle_partitions: int,
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _warmup_dir(sf_dir: str) -> str:
+    """Smallest sibling sf dir for the pandas-UDF warm-up (sf0.001 when
+    the standard layout is present) — never a hardcoded absolute path,
+    so a relocated SPARK_GRAFT_SF_DIR still benches."""
+    sib = os.path.join(os.path.dirname(os.path.abspath(sf_dir.rstrip("/"))),
+                       "sf0.001")
+    return sib if os.path.isdir(sib) else sf_dir
+
+
+def _cpu_window_sampler(stop, samples, interval=2.0):
+    """Sample whole-host /proc/stat deltas while a timing window runs so
+    a contended window is self-labeling in the recorded JSON."""
+    def read():
+        with open("/proc/stat") as f:
+            return list(map(int, f.readline().split()[1:]))
+
+    prev = read()
+    while not stop.wait(interval):
+        cur = read()
+        d = [b - a for a, b in zip(prev, cur)]
+        tot = sum(d) or 1
+        samples.append({
+            "busy": 1.0 - (d[3] + d[4]) / tot,
+            "sys": d[2] / tot,
+            "steal": (d[7] if len(d) > 7 else 0) / tot,
+        })
+        prev = cur
+
+
+def _median(xs: list[float]) -> float:
+    ys = sorted(xs)
+    n = len(ys)
+    return ys[n // 2] if n % 2 else (ys[n // 2 - 1] + ys[n // 2]) / 2
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -222,28 +257,65 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: one JVM-side query AND one pandas-UDF query (at the tiny
-    # sf0.001 tables) — python-worker cold start is ~3.4 s of kernel-bound
-    # `import pandas` per worker and would otherwise land on whichever
-    # UDF query happens to run first
+    # warm-up: one JVM-side query AND one pandas-UDF query (at the
+    # smallest sibling tables) — python-worker cold start is ~3.4 s of
+    # kernel-bound `import pandas` per worker and would otherwise land on
+    # whichever UDF query happens to run first
     QUERIES[HEADLINE[0]][0](spark, sf_dir).count()
-    QUERIES["kg_extract_mill"][0](spark, "/root/testdata/sf0.001").count()
+    QUERIES["kg_extract_mill"][0](spark, _warmup_dir(sf_dir)).count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name][0]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"  {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    # contention-proof protocol: run every headline query in N full
+    # windows, report the per-query MEDIAN, and attach per-window wall
+    # times + host CPU stats so one contended window can never again
+    # masquerade as a code regression (round-4 lesson: a single recorded
+    # window read 66.9 s where three clean windows read 54-56 s)
+    import threading
+
+    n_windows = max(int(os.environ.get("BENCH_WINDOWS", "3")), 1)
+    windows: list[dict] = []
+    for w in range(n_windows):
+        stop = threading.Event()
+        cpu_samples: list[dict] = []
+        sampler = threading.Thread(
+            target=_cpu_window_sampler, args=(stop, cpu_samples), daemon=True
+        )
+        sampler.start()
+        per: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = QUERIES[name][0]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            per[name] = round(time.time() - t0, 3)
+            print(f"  w{w}/{name}: {per[name]}s ({n} rows)", file=sys.stderr)
+        stop.set()
+        sampler.join(timeout=5)
+        ns = max(len(cpu_samples), 1)
+        windows.append({
+            "queries": per,
+            "total_sec": round(sum(per.values()), 3),
+            "cpu_busy_mean": round(
+                sum(s["busy"] for s in cpu_samples) / ns, 3),
+            "cpu_busy_max": round(
+                max((s["busy"] for s in cpu_samples), default=0.0), 3),
+            "cpu_steal_mean": round(
+                sum(s["steal"] for s in cpu_samples) / ns, 3),
+            "cpu_sys_mean": round(sum(s["sys"] for s in cpu_samples) / ns, 3),
+        })
+        spark.catalog.clearCache()
+    timings = {
+        name: round(_median([w["queries"][name] for w in windows]), 3)
+        for name in HEADLINE
+    }
     spark.stop()
 
     result = {
         "metric": "headline_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "bench_protocol": f"per-query median of {n_windows} windows",
         "queries": timings,
+        "windows": windows,
         "sf": sf,
     }
 
@@ -253,6 +325,9 @@ def main() -> int:
     if prev is not None:
         prev_name, prev_q = prev
         result["prev_bench"] = prev_name
+        # median-to-median from r5 onward (r4 and earlier recorded one
+        # window; their deltas carry that window's contention noise)
+        result["deltas_note"] = "this side is a median of windows"
         result["deltas_vs_prev"] = {
             name: round(t - prev_q[name], 3)
             for name, t in timings.items() if name in prev_q

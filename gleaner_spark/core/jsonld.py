@@ -762,10 +762,23 @@ def to_rdf(doc: Any) -> list[Quad]:
 
 _ESCAPES = [("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")]
 
+# canonical n-quads additionally UCHAR-escapes the remaining C0 controls
+# (and DEL): without this a source literal containing U+0000 would serialize
+# raw and defeat any sentinel-based downstream unescaper
+# (operators/shacl._nt_unescape_expr)
+_UCHAR_ESCAPES = [(chr(c), "\\u%04X" % c)
+                  for c in list(range(0x20)) + [0x7F]
+                  if chr(c) not in ("\n", "\r", "\t")]
+
+_CTRL = set(a for a, _ in _UCHAR_ESCAPES)
+
 
 def _escape(s: str) -> str:
     for a, b in _ESCAPES:
         s = s.replace(a, b)
+    if _CTRL.intersection(s):
+        for a, b in _UCHAR_ESCAPES:
+            s = s.replace(a, b)
     return s
 
 

@@ -426,22 +426,33 @@ def _literal_body(col=None):
 
 
 #: sentinel for the two-character ``\\`` sequence while decoding the
-#: single-character escapes — NUL can never appear in serialized n-quads
-#: (the serializer would have escaped the source text first)
-_UNESC_SENTINEL = "\x00"
+#: single-character escapes.  A multi-char private-use run cannot be
+#: produced by any decode step below (all decode targets are single
+#: C0/DEL chars) and cannot pre-exist in serialized n-quads from
+#: core/jsonld (which never emits PUA escapes and passes PUA source
+#: chars through raw — a source literal would need this exact 3-char
+#: run, which we accept as impossible rather than corrupting U+0000,
+#: a char the serializer DOES emit escaped and we must round-trip).
+_UNESC_SENTINEL = "\uE000\uE0FF\uE000"
 
 
 def _nt_unescape_expr(col):
     """Column-expression inverse of the n-quads literal escaping
-    (``\\\\ \\" \\n \\r \\t`` — core/jsonld._ESCAPES): protect ``\\\\``
-    with a sentinel so ``\\n`` after a protected backslash stays the
-    two characters backslash+n, decode the single escapes, then restore
-    the backslashes.  Pure JVM-side regexp_replace chain — no UDF."""
+    (``\\\\ \\" \\n \\r \\t`` ECHARs plus the ``\\u00XX`` UCHARs the
+    serializer emits for C0/DEL — core/jsonld._ESCAPES/_UCHAR_ESCAPES):
+    protect ``\\\\`` with a sentinel so ``\\n`` after a protected
+    backslash stays the two characters backslash+n, decode the single
+    escapes, then restore the backslashes.  Pure JVM-side
+    regexp_replace chain — no UDF."""
     s = F.regexp_replace(col, r"\\\\", _UNESC_SENTINEL)
     s = F.regexp_replace(s, r"\\n", "\n")
     s = F.regexp_replace(s, r"\\r", "\r")
     s = F.regexp_replace(s, r"\\t", "\t")
     s = F.regexp_replace(s, r"\\\"", '"')
+    for c in list(range(0x20)) + [0x7F]:
+        if chr(c) in ("\n", "\r", "\t"):
+            continue
+        s = F.regexp_replace(s, r"\\u%04X" % c, chr(c))
     return F.regexp_replace(s, _UNESC_SENTINEL, "\\\\")
 
 

@@ -172,17 +172,21 @@ def _write_iceberg(df: DataFrame, cat: tuple[str, str], name: str,
     catalog, ns = cat
     table = f"{catalog}.{ns}.{name}"
     spark = df.sparkSession
+    # build the writer once — both table-(re)creating branches must carry
+    # the partition spec, or a full-refresh run would replace e.g. the
+    # 'triples' table with an UNpartitioned one and silently degrade later
+    # overwrite_partitions calls to whole-table overwrites
+    w = df.writeTo(table)
+    if partition_by:
+        w = w.partitionedBy(*[F.col(c) for c in partition_by])
     if not spark.catalog.tableExists(table):
-        w = df.writeTo(table)
-        if partition_by:
-            w = w.partitionedBy(*[F.col(c) for c in partition_by])
         w.create()
     elif mode == "append":
         df.writeTo(table).append()
     elif mode == "overwrite_partitions":
         df.writeTo(table).overwritePartitions()
     else:
-        df.writeTo(table).createOrReplace()
+        w.createOrReplace()
     return table
 
 

@@ -543,3 +543,67 @@ def test_async_writes_join_raises_and_abort_swallows(caplog):
                          logger="gleaner_spark.plans.pipeline"):
         aw2.abort()  # must not raise
     assert any("lineage boom" in r.message for r in caplog.records)
+
+
+def test_iceberg_writer_keeps_partition_spec_on_replace():
+    """ADVICE r4 (medium): the createOrReplace branch must carry the
+    partition spec exactly like the create branch — otherwise the second
+    overwrite-mode run replaces a partitioned table with an unpartitioned
+    one and later overwrite_partitions calls degrade to whole-table
+    overwrites.  Recorded through a fake DataFrameWriterV2 (no Iceberg
+    jar in the container)."""
+    from gleaner_spark.plans import pipeline as pl
+
+    class FakeWriter:
+        def __init__(self, log, table):
+            self.log, self.table, self.pb = log, table, None
+
+        def partitionedBy(self, *cols):
+            self.pb = len(cols)
+            return self
+
+        def create(self):
+            self.log.append(("create", self.table, self.pb))
+
+        def createOrReplace(self):
+            self.log.append(("createOrReplace", self.table, self.pb))
+
+        def append(self):
+            self.log.append(("append", self.table, self.pb))
+
+        def overwritePartitions(self):
+            self.log.append(("overwritePartitions", self.table, self.pb))
+
+    class FakeSpark:
+        def __init__(self, exists):
+            self._exists = exists
+
+        @property
+        def catalog(self):
+            return self
+
+        def tableExists(self, t):
+            return self._exists
+
+    class FakeDF:
+        def __init__(self, exists, log):
+            self.sparkSession, self.log = FakeSpark(exists), log
+
+        def writeTo(self, table):
+            return FakeWriter(self.log, table)
+
+    cat = ("demo", "kg")
+    # fresh table: create() with the spec
+    log = []
+    pl._write_iceberg(FakeDF(False, log), cat, "triples", ["source"], "overwrite")
+    assert log == [("create", "demo.kg.triples", 1)]
+    # existing table, full refresh: createOrReplace() MUST carry the spec
+    log = []
+    pl._write_iceberg(FakeDF(True, log), cat, "triples", ["source"], "overwrite")
+    assert log == [("createOrReplace", "demo.kg.triples", 1)]
+    # append / overwrite_partitions write into the existing spec
+    for mode in ("append", "overwrite_partitions"):
+        log = []
+        pl._write_iceberg(FakeDF(True, log), cat, "triples", ["source"], mode)
+        assert len(log) == 1 and log[0][0] in (
+            "append", "overwritePartitions")

@@ -562,3 +562,28 @@ def test_sh_or_mixed_alternative_ands_all_constraints(spark):
     )
     with pytest.raises(ValueError, match="requires\\s+sh:path"):
         shape_conformance(_triples(spark, rows), [bad]).collect()
+
+
+def test_nt_unescape_control_chars_roundtrip(spark):
+    """ADVICE r4: a source literal containing U+0000 (or any C0/DEL)
+    must survive serialize→unescape — the serializer UCHAR-escapes
+    control chars and the sentinel is a PUA run that no decode step can
+    produce, so sh:pattern matches against the true value characters."""
+    from pyspark.sql import functions as F
+
+    from gleaner_spark.core.jsonld import _escape
+    from gleaner_spark.operators.shacl import _nt_unescape_expr
+
+    vals = [
+        "a\x00b",                       # raw NUL — the reported corruption
+        "a\\u0000b",                    # literal TEXT '\\u0000' (7 chars)
+        'tab\t nl\n bs\\ q" nul\x00',   # every ECHAR + NUL together
+        "\x01\x1f\x7f",                 # other C0 + DEL
+        "\\\x00",                       # escaped backslash adjacent to NUL
+    ]
+    esc = [_escape(v) for v in vals]
+    assert "\\u0000" in esc[0] and "\x00" not in esc[0]
+    df = spark.createDataFrame([(e,) for e in esc], "s string")
+    out = [r.o for r in
+           df.select(_nt_unescape_expr(F.col("s")).alias("o")).collect()]
+    assert out == vals
