@@ -76,3 +76,122 @@ def test_metadata_query_prunes_payload(media):
     assert "payload#" not in plan.split("\n")[0] or True  # projection first
     # the decisive check: optimized plan's output references no payload col
     assert meta.count() == 120
+
+
+# ---------------------------------------------------------------------------
+# round-5: REAL codec-free decode (PPM/PGM, 24-bit BMP, PCM WAV)
+# ---------------------------------------------------------------------------
+
+def test_ppm_decoder_exact_and_comment_tolerant():
+    from gleaner_spark.operators.multimodal import (
+        _luma, decode_ppm, encode_ppm_fixture,
+    )
+
+    mime, payload, w, h = encode_ppm_fixture(12)
+    gw, gh, n, s = decode_ppm(payload)
+    assert (gw, gh, n) == (w, h, w * h)
+    expect = sum(
+        _luma((12 + 3 * j) % 256, (24 + 5 * j) % 256, (84 + 11 * j) % 256)
+        for j in range(w * h)
+    )
+    assert s == expect
+    # P5 grayscale: sum is just the raster bytes
+    p5 = b"P5\n# c\n3 2\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    assert decode_ppm(p5) == (3, 2, 6, 210)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n255\n\x00\x00")        # truncated raster
+    with _pt.raises(ValueError):
+        decode_ppm(b"P3\n1 1\n255\n1 2 3")            # ASCII variant
+
+
+def test_bmp_decoder_padding_and_topdown():
+    import struct
+
+    from gleaner_spark.operators.multimodal import (
+        _luma, decode_bmp, encode_bmp_fixture,
+    )
+
+    mime, payload, w, h = encode_bmp_fixture(7)
+    gw, gh, n, s = decode_bmp(payload)
+    assert (gw, gh, n) == (w, h, w * h)
+    expect = sum(
+        _luma((7 + 3 * j) % 256, (14 + 5 * j) % 256, (49 + 11 * j) % 256)
+        for j in range(w * h)
+    )
+    assert s == expect
+    # top-down (negative height) 1x2 BMP decodes to the same aggregates
+    pix = bytes((1, 2, 3, 0)) + bytes((4, 5, 6, 0))     # BGR + pad to 4
+    hdr = (b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, 1, -2, 1, 24, 0, len(pix),
+                         0, 0, 0, 0))
+    gw, gh, n, s = decode_bmp(hdr + pix)
+    assert (gw, gh, n) == (1, 2, 2)
+    assert s == _luma(3, 2, 1) + _luma(6, 5, 4)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        decode_bmp(b"XX" + payload[2:])                 # bad magic
+    with _pt.raises(ValueError):                        # 8-bit unsupported
+        bad = bytearray(payload)
+        bad[28] = 8
+        decode_bmp(bytes(bad))
+
+
+def test_wav_decoder_chunk_walk_and_stereo():
+    import struct
+
+    from gleaner_spark.operators.multimodal import decode_wav, encode_wav_fixture
+
+    mime, payload, rate, ns = encode_wav_fixture(5)
+    grate, gn, s, dur = decode_wav(payload)
+    assert (grate, gn, dur) == (rate, ns, ns * 1000 // rate)
+    assert s == sum(abs(((5 * 31 + j * 17) % 2001) - 1000) for j in range(ns))
+    # stereo + a LIST chunk BEFORE fmt: the chunk walk must skip it
+    data = struct.pack("<4h", 100, -200, 300, -400)     # 2 frames x 2 ch
+    wav = (b"RIFF" + struct.pack("<I", 4 + 12 + 24 + 8 + len(data)) + b"WAVE"
+           + b"LIST" + struct.pack("<I", 4) + b"INFO"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+           + b"data" + struct.pack("<I", len(data)) + data)
+    grate, gn, s, dur = decode_wav(wav)
+    assert (grate, gn, s, dur) == (8000, 2, 1000, 0)
+    import pytest as _pt
+    with _pt.raises(ValueError):                        # 8-bit PCM refused
+        bad = bytearray(payload)
+        struct.pack_into("<H", bad, bad.index(b"fmt ") + 8 + 14, 8)
+        decode_wav(bytes(bad))
+
+
+def test_decode_media_real_spark_roundtrip(spark):
+    from gleaner_spark.operators.multimodal import (
+        decode_media_real, decode_ppm, encode_ppm_fixture, gen_media_real,
+    )
+
+    out = decode_media_real(gen_media_real(spark, 30, partitions=4),
+                            repartition_to=4).toPandas()
+    assert len(out) == 30
+    # spot-check one image row against the local decoder
+    _, payload, w, h = encode_ppm_fixture(0)
+    lw, lh, ln, ls = decode_ppm(payload)
+    row = out[out.payload_id == "m000000"].iloc[0]
+    assert (row.width, row.height, row.n_units, row.sum_val) == (lw, lh, ln, ls)
+    # compressed codecs still refuse honestly
+    from pyspark.sql import functions as F
+    bad = spark.createDataFrame(
+        [("x", "image/png", bytearray(b"\x89PNG"))],
+        "payload_id string, mime string, payload binary",
+    )
+    import pytest as _pt
+    from py4j.protocol import Py4JJavaError
+    with _pt.raises(Exception, match="NotImplementedError|codec"):
+        decode_media_real(bad).collect()
+
+
+def test_registry_contract_fifty_rows_all_oracled():
+    """VERDICT r4 #9: the driver's correctness gate caps at 50 registry
+    rows — lock the contract: exactly 50 queries, every one oracled
+    (zero rows-only slots since the real-decode row landed)."""
+    from gleaner_spark.plans.queries import QUERIES
+
+    assert len(QUERIES) == 50
+    missing = [k for k, (_, oracle) in QUERIES.items() if oracle is None]
+    assert missing == []
