@@ -25,9 +25,12 @@ serialized-triples form (e.g. a SHACL JSON-LD doc milled by
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
+
+logger = logging.getLogger(__name__)
 
 SH = "http://www.w3.org/ns/shacl#"
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
@@ -639,6 +642,146 @@ def _conformance_for_targets(
     return res
 
 
+#: join-family sub-plans (sh:or / sh:class / sh:node) beyond this bound
+#: get a warning — value-level constraints batch into ONE pass, but each
+#: join-family constraint still contributes its own joins to the plan
+MAX_JOIN_SUBPLANS = 64
+
+
+def _value_level_report_batched(
+    triples: DataFrame, shapes: list[NodeShape]
+) -> DataFrame | None:
+    """Violation rows for ALL shapes' value-level constraint families
+    (MinCount / MaxCount / NodeKind / Datatype / Pattern / HasValue) in
+    ONE fixed-width pass: constraint metadata is DATA — a broadcast dim
+    table joined to the target triples — not plan, so the sub-plan count
+    is O(1) in both shape count and constraint count (round-4 VERDICT
+    watch #3: the previous formulation built one sub-plan per (shape,
+    constraint, component) and the plan exploded past ~dozens of
+    shapes).  Join-family constraints (sh:or / sh:class / sh:node) stay
+    per-constraint in :func:`shape_validation_report`.
+
+    Returns ``None`` when no shape carries a value-level constraint."""
+    spark = triples.sparkSession
+    crows = []
+    for s in shapes:
+        for i, c in enumerate(s.properties):
+            if c.node_kind is not None and c.node_kind not in (
+                "IRI", "Literal", "BlankNode"
+            ):
+                raise KeyError(c.node_kind)    # same contract as _kind_ok
+            if (c.min_count > 0 or c.max_count is not None or c.node_kind
+                    or c.datatype or c.pattern or c.has_value):
+                crows.append((s.shape_id, i, c.path, f"<{c.path}>",
+                              c.min_count, c.max_count, c.node_kind,
+                              c.datatype, c.pattern, c.has_value))
+    if not crows:
+        return None
+    cdim = spark.createDataFrame(
+        crows,
+        "shape_id string, cidx int, path string, pred string, "
+        "min_count int, max_count int, node_kind string, datatype string, "
+        "pattern string, has_value string",
+    )
+    tmap = spark.createDataFrame(
+        [(f"<{s.target_class}>", s.shape_id) for s in shapes],
+        "object string, shape_id string",
+    )
+
+    # dynamic (constraint-value-as-column) forms of _kind_ok/_dt_ok/
+    # _pattern_ok — regexp_like/endswith accept non-foldable operands
+    obj = F.col("object")
+    kind_ok = (
+        F.when(F.col("node_kind") == "IRI", obj.startswith("<"))
+        .when(F.col("node_kind") == "Literal", obj.startswith('"'))
+        .when(F.col("node_kind") == "BlankNode", obj.startswith("_:"))
+    )
+    plain_str = (
+        obj.startswith('"')
+        & ~obj.rlike(r"\^\^<[^>]*>$")
+        & ~obj.rlike(r'"@[A-Za-z][A-Za-z0-9-]*$')
+    )
+    dt_ok = F.when(F.col("datatype") == XSD_STRING, plain_str).otherwise(
+        F.endswith(obj, F.concat(F.lit("^^<"), F.col("datatype"), F.lit(">")))
+    )
+    pat_ok = (
+        F.when(obj.startswith("_:"), F.lit(False))
+        .when(
+            obj.startswith("<"),
+            F.regexp_like(
+                F.regexp_extract(obj, r"^<(.*)>$", 1), F.col("pattern")
+            ),
+        )
+        .otherwise(
+            F.regexp_like(_nt_unescape_expr(_literal_body()), F.col("pattern"))
+        )
+    )
+    # _value_filter parity: the min/max count only counts values passing
+    # the constraint's own nodeKind/datatype qualifiers
+    qual = ((F.col("node_kind").isNull() | kind_ok)
+            & (F.col("datatype").isNull() | dt_ok))
+
+    targets = (
+        triples.filter(F.col("predicate") == RDF_TYPE)
+        .join(F.broadcast(tmap), "object")
+        .select("subject", "shape_id")
+        .distinct()
+    )
+    base = triples.select("subject", "predicate", "object").join(
+        targets, "subject"
+    )
+    cd = cdim.withColumnRenamed("shape_id", "sid")
+    path_rows = base.join(
+        F.broadcast(cd),
+        (F.col("shape_id") == F.col("sid")) & (F.col("predicate") == F.col("pred")),
+    )
+    agg = path_rows.groupBy("shape_id", "cidx", "subject").agg(
+        F.sum(qual.cast("int")).alias("n"),
+        F.sum((F.col("node_kind").isNotNull() & ~kind_ok).cast("int"))
+        .alias("badkind"),
+        F.sum((F.col("datatype").isNotNull() & ~dt_ok).cast("int"))
+        .alias("baddt"),
+        F.sum(F.when(F.col("pattern").isNotNull() & ~pat_ok, 1).otherwise(0))
+        .alias("badpat"),
+        F.sum((F.col("has_value").isNotNull() & (obj == F.col("has_value")))
+              .cast("int")).alias("hv"),
+    )
+    per = targets.join(F.broadcast(cdim), "shape_id").join(
+        agg, ["shape_id", "cidx", "subject"], "left"
+    )
+    cnt = F.coalesce(F.col("n"), F.lit(0))
+    comps = F.array(
+        F.struct(F.lit("MinCount").alias("comp"),
+                 ((F.col("min_count") > 0)
+                  & (cnt < F.col("min_count"))).alias("bad")),
+        F.struct(F.lit("MaxCount").alias("comp"),
+                 (F.col("max_count").isNotNull()
+                  & (cnt > F.col("max_count"))).alias("bad")),
+        F.struct(F.lit("NodeKind").alias("comp"),
+                 (F.coalesce(F.col("badkind"), F.lit(0)) > 0).alias("bad")),
+        F.struct(F.lit("Datatype").alias("comp"),
+                 (F.coalesce(F.col("baddt"), F.lit(0)) > 0).alias("bad")),
+        F.struct(F.lit("Pattern").alias("comp"),
+                 (F.coalesce(F.col("badpat"), F.lit(0)) > 0).alias("bad")),
+        F.struct(F.lit("HasValue").alias("comp"),
+                 (F.col("has_value").isNotNull()
+                  & (F.coalesce(F.col("hv"), F.lit(0)) == 0)).alias("bad")),
+    )
+    return (
+        per.select("subject", "shape_id", "path",
+                   F.explode(comps).alias("v"))
+        .filter(F.coalesce(F.col("v.bad"), F.lit(False)))
+        .select(
+            F.col("subject").alias("focus_node"),
+            "shape_id",
+            F.col("path").alias("result_path"),
+            F.concat(F.lit(SH), F.col("v.comp"),
+                     F.lit("ConstraintComponent"))
+            .alias("constraint_component"),
+        )
+    )
+
+
 def shape_validation_report(
     triples: DataFrame,
     shapes: list[NodeShape],
@@ -654,11 +797,18 @@ def shape_validation_report(
 
     Components emitted: MinCount, MaxCount, NodeKind, Datatype, Pattern,
     HasValue, Class, Node (sh:node resolved via ``shape_index``), Or
-    (value-level alternatives).  Each is a filter/aggregate over the
-    semi-joined target triples — no per-document engine, every check
-    distributes.
+    (value-level alternatives).  The six value-level families evaluate
+    in ONE batched pass for all shapes (constraint metadata as a
+    broadcast dim table — :func:`_value_level_report_batched`); only
+    the join families (sh:or / sh:class / sh:node) add per-constraint
+    sub-plans, with a warning past ``MAX_JOIN_SUBPLANS``.
     """
+    if not shapes:
+        raise ValueError("no NodeShape with a sh:targetClass in shapes input")
     frames: list[DataFrame] = []
+    batched = _value_level_report_batched(triples, shapes)
+    if batched is not None:
+        frames.append(batched)
 
     def _vio(df: DataFrame, shape: NodeShape, path: str, comp: str) -> None:
         frames.append(df.select(
@@ -669,9 +819,12 @@ def shape_validation_report(
                 "constraint_component"),
         ).distinct())
 
-    any_shape = False
+    join_subplans = 0
     for shape in shapes:
-        any_shape = True
+        join_cs = [c for c in shape.properties
+                   if c.or_alternatives or c.class_iri or c.node_shape]
+        if not join_cs:
+            continue
         targets = (
             triples.filter(
                 (F.col("predicate") == RDF_TYPE)
@@ -681,41 +834,10 @@ def shape_validation_report(
             .distinct()
         )
         base = triples.join(targets, "subject", "left_semi")
-        count_aggs = [
-            F.sum(_value_filter(c).cast("int")).alias(f"n{i}")
-            for i, c in enumerate(shape.properties)
-        ]
-        if count_aggs:
-            counted = targets.join(
-                base.groupBy("subject").agg(*count_aggs), "subject", "left"
-            )
-        else:  # a shape with no property constraints violates nothing
-            counted = targets
-        for i, c in enumerate(shape.properties):
+        for c in join_cs:
             on_path = base.filter(F.col("predicate") == f"<{c.path}>")
-            cnt = F.coalesce(F.col(f"n{i}"), F.lit(0))
-            if c.min_count > 0:
-                _vio(counted.filter(cnt < c.min_count), shape, c.path,
-                     "MinCount")
-            if c.max_count is not None:
-                _vio(counted.filter(cnt > c.max_count), shape, c.path,
-                     "MaxCount")
-            if c.node_kind is not None:
-                _vio(on_path.filter(~_kind_ok(c.node_kind)), shape, c.path,
-                     "NodeKind")
-            if c.datatype is not None:
-                _vio(on_path.filter(~_dt_ok(c.datatype)), shape, c.path,
-                     "Datatype")
-            if c.pattern is not None:
-                _vio(on_path.filter(~_pattern_ok(c.pattern)), shape, c.path,
-                     "Pattern")
-            if c.has_value is not None:
-                holders = on_path.filter(
-                    F.col("object") == c.has_value
-                ).select("subject")
-                _vio(targets.join(holders, "subject", "left_anti"),
-                     shape, c.path, "HasValue")
             if c.or_alternatives:
+                join_subplans += 1
                 if _or_is_value_level(c):
                     _vio(on_path.filter(_or_fails(c)), shape, c.path, "Or")
                 else:
@@ -728,6 +850,7 @@ def shape_validation_report(
                         shape, c.path, "Or",
                     )
             if c.class_iri is not None:
+                join_subplans += 1
                 instances = (
                     triples.filter(
                         (F.col("predicate") == RDF_TYPE)
@@ -742,6 +865,7 @@ def shape_validation_report(
                     shape, c.path, "Class",
                 )
             if c.node_shape is not None:
+                join_subplans += 1
                 ref = (shape_index or {}).get(c.node_shape)
                 if ref is None:
                     raise ValueError(
@@ -762,8 +886,13 @@ def shape_validation_report(
                     ),
                     shape, c.path, "Node",
                 )
-    if not any_shape:
-        raise ValueError("no NodeShape with a sh:targetClass in shapes input")
+    if join_subplans > MAX_JOIN_SUBPLANS:
+        logger.warning(
+            "shape_validation_report: %d sh:or/sh:class/sh:node constraints "
+            "each add join sub-plans (bound %d) — consider splitting the "
+            "shapes graph across passes",
+            join_subplans, MAX_JOIN_SUBPLANS,
+        )
     if not frames:
         # shapes carry no violation-capable constraints → EMPTY report,
         # not a crash (a report of zero violations is a valid result)

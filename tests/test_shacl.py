@@ -587,3 +587,66 @@ def test_nt_unescape_control_chars_roundtrip(spark):
     out = [r.o for r in
            df.select(_nt_unescape_expr(F.col("s")).alias("o")).collect()]
     assert out == vals
+
+
+def test_report_subplan_count_sublinear_in_shapes(spark):
+    """VERDICT r4 #4: value-level constraint families must not add one
+    sub-plan per (shape, constraint, component).  With 50 shapes × 4
+    value-level constraints the optimized plan should stay within a
+    small constant factor of the 5-shape plan (constraint metadata is
+    a broadcast dim table, not plan), and the report itself must stay
+    correct."""
+    from gleaner_spark.operators.shacl import shape_validation_report
+
+    def mk_shapes(n):
+        return [
+            NodeShape(
+                shape_id=f"{SCHEMA}S{k}",
+                target_class=f"{SCHEMA}T{k}",
+                properties=[
+                    PropertyConstraint(path=f"{SCHEMA}name", min_count=1),
+                    PropertyConstraint(path=f"{SCHEMA}url", node_kind="IRI"),
+                    PropertyConstraint(path=f"{SCHEMA}v",
+                                       datatype=f"{SCHEMA}Num"),
+                    PropertyConstraint(path=f"{SCHEMA}code",
+                                       pattern="^[A-Z]+$"),
+                ],
+            )
+            for k in range(n)
+        ]
+
+    # 3 focus nodes per class: conforming / missing-name / bad-kind+pattern
+    rows = []
+    for k in range(50):
+        for j, subj in enumerate((f"<urn:x:{k}:ok>", f"<urn:x:{k}:noname>",
+                                  f"<urn:x:{k}:bad>")):
+            rows.append((subj, T, f"<{SCHEMA}T{k}>"))
+            if j != 1:
+                rows.append((subj, f"<{SCHEMA}name>", '"n"'))
+            if j == 2:
+                rows.append((subj, f"<{SCHEMA}url>", '"not-an-iri"'))
+                rows.append((subj, f"<{SCHEMA}code>", '"abc"'))
+    triples = _triples(spark, rows)
+
+    def plan_len(n):
+        rep = shape_validation_report(triples, mk_shapes(n))
+        return rep, len(
+            rep._jdf.queryExecution().optimizedPlan().toString()
+        )
+
+    rep5, len5 = plan_len(5)
+    rep50, len50 = plan_len(50)
+    # 10× the shapes must cost well under 10× the plan (observed ~1×)
+    assert len50 < 3 * len5, (len5, len50)
+
+    got = {(r.focus_node, r.shape_id.rsplit("S", 1)[-1],
+            r.constraint_component.rsplit("#", 1)[-1])
+           for r in rep50.collect()}
+    # exactly: 50 MinCount (noname), 50 NodeKind + 50 Pattern (bad)
+    assert len(got) == 150
+    assert all(c in ("MinCountConstraintComponent",
+                     "NodeKindConstraintComponent",
+                     "PatternConstraintComponent") for _, _, c in got)
+    assert ("<urn:x:7:noname>", "7", "MinCountConstraintComponent") in got
+    assert ("<urn:x:7:bad>", "7", "NodeKindConstraintComponent") in got
+    assert ("<urn:x:7:bad>", "7", "PatternConstraintComponent") in got
