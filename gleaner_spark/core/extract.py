@@ -209,7 +209,92 @@ def _skip_ws_comments(text: str, i: int) -> int:
     return i
 
 
-def _brace_spans_and_strings(text: str):
+_IDENT_RE = re.compile(r"[A-Za-z_$][\w$]*")
+
+#: ``${name}`` template-literal interpolation of a bare identifier —
+#: anything more complex is left verbatim (json.loads then rejects it:
+#: a missed recovery, never a wrong one)
+_TPL_RE = re.compile(r"\$\{\s*([A-Za-z_$][\w$]*)\s*\}")
+
+_ASSIGN_RE = re.compile(r"\b(?:var|let|const)\s+([A-Za-z_$][\w$]*)\s*=")
+
+
+def _read_string_group(text: str, i: int, names: dict[str, str] | None):
+    """Read a string CONCATENATION GROUP starting at the quote at ``i``:
+    adjacent terms joined by ``+`` (whitespace/comments between), where
+    a term is a string literal OR — when ``names`` resolves it — a
+    single-assignment string variable.  ``${name}`` interpolations in
+    template literals substitute resolved names.  Returns
+    ``(joined, resume_index)``; an unresolvable term ends the group
+    BEFORE it (emitting what was joined so far — the downstream
+    json.loads validation means a truncated group is a missed recovery,
+    never a silently-wrong one)."""
+    n = len(text)
+    parts: list[str] = []
+    pos = i
+    while True:
+        c0 = text[pos] if pos < n else ""
+        if c0 in ('"', "'", "`"):
+            q = c0
+            ii = pos + 1
+            start = ii
+            while ii < n:
+                if text[ii] == "\\":
+                    ii += 2
+                    continue
+                if text[ii] == q:
+                    break
+                ii += 1
+            raw = text[start:ii]
+            if q == "`" and names:
+                raw = _TPL_RE.sub(
+                    lambda m: names.get(m.group(1), m.group(0)), raw
+                )
+            parts.append(raw)
+            pos = ii + 1  # past the closing quote
+        else:
+            m = _IDENT_RE.match(text, pos)
+            if m and names and m.group(0) in names:
+                parts.append(names[m.group(0)])
+                pos = m.end()
+            else:
+                break  # unresolvable term: group ends before it
+        j = _skip_ws_comments(text, pos)
+        if j < n and text[j] == "+":
+            k = _skip_ws_comments(text, j + 1)
+            if k < n:
+                pos = k
+                continue
+        break
+    return "".join(parts), pos
+
+
+def _single_assign_strings(text: str) -> dict[str, str]:
+    """NAME → joined string value for every ``var/let/const NAME =
+    <string-literal group>`` whose NAME is (re)assigned exactly once in
+    the script — the static single-assignment subset a rendered DOM
+    would see regardless of execution order.  One level only: a value
+    may not reference another variable."""
+    out: dict[str, str] = {}
+    for m in _ASSIGN_RE.finditer(text):
+        name = m.group(1)
+        i = _skip_ws_comments(text, m.end())
+        if i >= len(text) or text[i] not in ('"', "'", "`"):
+            out.pop(name, None)     # declared non-string: never resolve
+            continue
+        val, _end = _read_string_group(text, i, None)
+        # any second write (including +=, -=, …) makes the final value
+        # execution-dependent — drop it
+        writes = len(re.findall(
+            rf"\b{re.escape(name)}\s*[+\-*/]?=(?!=)", text))
+        if writes == 1 and name not in out:
+            out[name] = val
+        else:
+            out.pop(name, None)
+    return out
+
+
+def _brace_spans_and_strings(text: str, names: dict[str, str] | None = None):
     """One pass over JS source: balanced ``{...}`` spans OUTSIDE string
     literals and comments, plus the raw contents of every string
     CONCATENATION GROUP — adjacent literals joined only by ``+`` (and
@@ -217,10 +302,12 @@ def _brace_spans_and_strings(text: str):
     ``document.write('<script…>' + '{"@context"…' + '…}</scr' +
     'ipt>')`` pages use to dodge naive scanners (headlessNG.go's
     rendered DOM sees them joined; a single literal is a group of one).
-    Regex literals are not tracked (a ``/…{…/`` regex could unbalance a
-    span — the json.loads validation downstream rejects any resulting
-    garbage, so the failure mode is a missed recovery, not a wrong
-    one)."""
+    With ``names`` (see :func:`_single_assign_strings`) a group term may
+    also be a resolved variable, and template literals substitute
+    ``${name}``.  Regex literals are not tracked (a ``/…{…/`` regex
+    could unbalance a span — the json.loads validation downstream
+    rejects any resulting garbage, so the failure mode is a missed
+    recovery, not a wrong one)."""
     spans: list[tuple[int, int]] = []
     strings: list[str] = []
     stack: list[int] = []
@@ -228,28 +315,8 @@ def _brace_spans_and_strings(text: str):
     while i < n:
         c = text[i]
         if c in ('"', "'", "`"):
-            parts: list[str] = []
-            while True:
-                q = text[i]
-                i += 1
-                start = i
-                while i < n:
-                    if text[i] == "\\":
-                        i += 2
-                        continue
-                    if text[i] == q:
-                        break
-                    i += 1
-                parts.append(text[start:i])
-                i += 1  # past the closing quote
-                j = _skip_ws_comments(text, i)
-                if j < n and text[j] == "+":
-                    k = _skip_ws_comments(text, j + 1)
-                    if k < n and text[k] in ('"', "'", "`"):
-                        i = k
-                        continue
-                break
-            strings.append("".join(parts))
+            joined, i = _read_string_group(text, i, names)
+            strings.append(joined)
             continue
         if c == "/" and i + 1 < n:
             if text[i + 1] == "/":
@@ -286,7 +353,9 @@ def _scan_js_candidates(text: str, out: list[str], seen: set[str],
               or JSONLD_TYPE in text)
     if not marker:
         return
-    spans, strings = _brace_spans_and_strings(text)
+    spans, strings = _brace_spans_and_strings(
+        text, _single_assign_strings(text)
+    )
     accepted: list[tuple[int, int]] = []
     for a, b in spans:
         if any(a >= x and b <= y for x, y in accepted):

@@ -1849,12 +1849,14 @@ from built
 
 def q_kg_js_inline_recover(spark, sf_dir):
     """S5 headless-gap fallback: pages whose JSON-LD lives in PLAIN
-    <script> JS — an object-literal assignment (doc_id%5==0), a
-    JSON.parse('...') payload (%5==1), a document.write of a
+    <script> JS — an object-literal assignment (doc_id%7==0), a
+    JSON.parse('...') payload (%7==1), a document.write of a
     '+'-CONCATENATED ld+json tag with the split '</scr'+'ipt>' closer
-    (%5==2), the SAME doc twice (object literal + differently-spaced
-    string payload) proving parsed-level dedup keeps one (%5==3), or a
-    normal static ld+json tag as the control (%5==4) — all flow
+    (%7==2), the SAME doc twice (object literal + differently-spaced
+    string payload) proving parsed-level dedup keeps one (%7==3), a
+    normal static ld+json tag as the control (%7==4), single-assignment
+    VARIABLE INDIRECTION in the concat chain (%7==5), or a TEMPLATE
+    LITERAL with ${name} interpolation (%7==6) — all flow
     through the SAME extract → normalize path; recovered docs carry
     via='js_inline'.  The reference reaches the non-static shapes only
     by rendering in headless Chrome (headlessNG.go:302-349).  Verified
@@ -1871,7 +1873,7 @@ def q_kg_js_inline_recover(spark, sf_dir):
                                F.substring(doc_json, 2, 1_000_000))
     html = (
         F.when(
-            F.col("doc_id") % 5 == 0,
+            F.col("doc_id") % 7 == 0,
             F.concat(
                 F.lit("<html><head><script type=\"text/javascript\">"
                       "var page = 1; var schemaData = "),
@@ -1881,7 +1883,7 @@ def q_kg_js_inline_recover(spark, sf_dir):
             ),
         )
         .when(
-            F.col("doc_id") % 5 == 1,
+            F.col("doc_id") % 7 == 1,
             F.concat(
                 F.lit("<html><head><script>var p = JSON.parse('"),
                 doc_json,
@@ -1889,7 +1891,7 @@ def q_kg_js_inline_recover(spark, sf_dir):
             ),
         )
         .when(
-            F.col("doc_id") % 5 == 2,
+            F.col("doc_id") % 7 == 2,
             F.concat(
                 F.lit("<html><head><script>document.write("
                       "'<script type=\"application/ld+json\">' + '"),
@@ -1899,7 +1901,7 @@ def q_kg_js_inline_recover(spark, sf_dir):
             ),
         )
         .when(
-            F.col("doc_id") % 5 == 3,
+            F.col("doc_id") % 7 == 3,
             F.concat(
                 F.lit("<html><head><script>var a = "),
                 doc_json,
@@ -1908,11 +1910,33 @@ def q_kg_js_inline_recover(spark, sf_dir):
                 F.lit("');</script></head><body>decoy</body></html>"),
             ),
         )
-        .otherwise(
+        .when(
+            F.col("doc_id") % 7 == 4,
             F.concat(
                 F.lit('<html><head><script type="application/ld+json">'),
                 doc_json,
                 F.lit("</script></head><body>decoy</body></html>"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 5,
+            F.concat(
+                F.lit("<html><head><script>var p1 = '"), json_a,
+                F.lit("';\nvar p2 = '"), json_b,
+                F.lit("';\ndocument.write("
+                      "'<script type=\"application/ld+json\">'"
+                      " + p1 + p2 + '</scr' + 'ipt>');</script></head>"
+                      "<body>decoy</body></html>"),
+            ),
+        )
+        .otherwise(
+            # %7==6: template literal with ${name} interpolation
+            F.concat(
+                F.lit("<html><head><script>var jd = '"), doc_json,
+                F.lit("';\nvar tag = `<script type=\"application/ld+json\">"
+                      "${jd}</scr` + 'ipt>';\n"
+                      "document.body.insertAdjacentHTML('beforeend', tag);"
+                      "</script></head><body>decoy</body></html>"),
             )
         )
     )
@@ -1937,7 +1961,7 @@ with d as (select doc_id, source, lang from documents where doc_id < {KG_DOC_LIM
 built as (
   select doc_id,
     concat('<https://example.org/doc/', cast(doc_id as varchar), '>') as s,
-    case when doc_id % 5 = 4 then 'static' else 'js_inline' end as via,
+    case when doc_id % 7 = 4 then 'static' else 'js_inline' end as via,
     source, lang from d
 )
 select doc_id, via, sha256(concat(

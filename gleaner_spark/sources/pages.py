@@ -234,23 +234,42 @@ def page_row(i: int, profile: str = "light") -> dict:
         # the headless-gap population, sub-split so the recovered vs
         # remaining stats tell a real story on the bench corpus:
         #   i%3==0 → truly empty (decoy marker only)
-        #   i%3==1 → statically-recoverable JS-inline JSON-LD
-        #            (JSON.parse payload / '+'-concatenated
-        #            document.write tag — headlessNG.go:302-349 shapes)
+        #   i%3==1 → statically-recoverable JS-inline JSON-LD, rotating
+        #            the four static shapes short of execution
+        #            (headlessNG.go:302-349 sees all of them rendered):
+        #            JSON.parse payload / '+'-concatenated document.write
+        #            tag / single-assignment VARIABLE INDIRECTION in the
+        #            concat chain / TEMPLATE LITERAL with ${name}
+        #            interpolation (round-5 additions)
         #   i%3==2 → computed via fetch+DOM insert: recoverable ONLY by
         #            executing JS — the measured remaining gap
         url = f"https://{host}/page/{i}"
         doc = json.dumps(make_doc(i, host), sort_keys=True)
         sub = i % 3
         if sub == 1:
-            if i % 2:
+            half = len(doc) // 2
+            variant = (i % 12) // 3
+            if variant == 0:
                 js = f"var meta = JSON.parse('{doc}'); render(meta);"
-            else:
-                half = len(doc) // 2
+            elif variant == 1:
                 js = (
                     "document.write('<script type=\"application/ld+json\">'"
                     f" + '{doc[:half]}' + '{doc[half:]}'"
                     " + '</scr' + 'ipt>');"
+                )
+            elif variant == 2:
+                js = (
+                    f"var p1 = '{doc[:half]}';\n"
+                    f"var p2 = '{doc[half:]}';\n"
+                    "document.write('<script type=\"application/ld+json\">'"
+                    " + p1 + p2 + '</scr' + 'ipt>');"
+                )
+            else:
+                js = (
+                    f"var jd = '{doc}';\n"
+                    "var tag = `<script type=\"application/ld+json\">"
+                    "${jd}</scr` + 'ipt>';\n"
+                    "document.body.insertAdjacentHTML('beforeend', tag);"
                 )
             scripts = f"<script>{js}</script>"
         elif sub == 2:
