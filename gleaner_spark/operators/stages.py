@@ -257,27 +257,17 @@ def materialize_triples(triples: DataFrame) -> DataFrame:
     PipeCopy concat order is unspecified listing order, pipecopy.go:15-81;
     we sort — an intentional determinism improvement, SURVEY.md J9).
 
-    Shuffle avoidance: per-graph uniqueness holds by construction
-    upstream (per-doc seen-set in ``to_rdf`` + one-doc-per-graph from
-    ``dedup_docs``), so duplicates can only appear where the linker
-    REWROTE a subject/object.  When the linker's ``_rewritten`` flag is
-    present, only graphs containing a rewritten row pay the dedup
-    shuffle — everything else passes through on a semi/anti-join of the
-    affected-graph list, instead of shuffling the fattest relation in
-    the pipeline.  The join strategy is left to AQE: the affected list
-    is *usually* small, but the linker can rewrite entities in a large
-    fraction of graphs, and a forced ``F.broadcast`` here bypassed
-    ``autoBroadcastJoinThreshold`` with an unbounded frame (round-2
-    ADVICE) — AQE picks broadcast from the measured size instead."""
+    ONE full dedup shuffle, on measurement (round 5): the previous
+    "shuffle avoidance" split the relation into rewritten/untouched
+    graphs via a semi/anti-join on the linker's ``_rewritten`` flag —
+    but that scans the (un-materialized) link output THREE times, each
+    re-running the sameAs rewrite joins, and measured 13-18 s against
+    7.2 s for the plain formulation at 120k heavy pages.  The sameAs map
+    is broadcast-sized in practice, so here the rewrite joins are
+    map-side and Spark pipelines them into the dedup exchange's map
+    phase — exactly one pass over the fattest relation, which is also
+    the right 100 TB plan (recompute amplification costs more than the
+    single wide shuffle it avoided)."""
     cols = ["subject", "predicate", "object", "graph", "source"]
     key = ["graph", "subject", "predicate", "object"]
-    if "_rewritten" not in triples.columns:
-        return triples.select(*cols).dropDuplicates(key)
-    affected = triples.filter(F.col("_rewritten")).select("graph").distinct()
-    touched = (
-        triples.join(affected, "graph", "left_semi")
-        .select(*cols)
-        .dropDuplicates(key)
-    )
-    untouched = triples.join(affected, "graph", "left_anti").select(*cols)
-    return untouched.unionByName(touched)
+    return triples.select(*cols).dropDuplicates(key)

@@ -71,8 +71,11 @@ def test_dedup_docs_collapses_norm_sha_collisions(spark):
 
 
 def test_materialize_dedups_only_rewritten_graphs(spark):
-    """With the linker's _rewritten flag, untouched graphs bypass the
-    full-relation dedup shuffle; rewritten graphs still dedup exactly."""
+    """materialize dedups exactly across rewritten and untouched graphs
+    and drops the linker's _rewritten flag.  (Round 5: the semi/anti
+    graph-split was measured 2x SLOWER than the single dedup shuffle —
+    it re-scanned the link plan three times — so one full dropDuplicates
+    is now the formulation; the exactness contract here is unchanged.)"""
     from gleaner_spark.operators.stages import materialize_triples
 
     rows = [
