@@ -360,6 +360,20 @@ def main() -> int:
     result["pipeline"] = pipe_hi
     result["pages_per_sec"] = pipe_hi["pages_per_sec"]
 
+    # one LARGE-corpus sample (default 120k heavy pages): the 24k run is
+    # serial-floor-dominated (session + python-worker startup + per-stage
+    # barriers amortize with corpus size — 792 pps at 24k vs ~2650 at
+    # 120k on the same code), so the small sample alone under-reports
+    # steady-state throughput by ~3×
+    large_pages = int(os.environ.get("BENCH_PIPELINE_LARGE_PAGES", "120000"))
+    if large_pages > n_pages:
+        corpus = _prepare_corpus(large_pages, "heavy")
+        os.environ["BENCH_CORPUS_DIR"] = corpus
+        s_large = _run_pipeline_pinned(pipe_cores, large_pages)
+        os.environ.pop("BENCH_CORPUS_DIR", None)
+        if s_large is not None:
+            result["pipeline_large"] = s_large
+
     if do_scaling:
         # N-vs-4N evidence: cpu-pinned fresh-process runs (see
         # _run_pipeline_pinned) at BENCH_SCALING_CORES and 4× that,
