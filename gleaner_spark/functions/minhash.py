@@ -76,6 +76,41 @@ def minhash_from_rows(rows: DataFrame, id_cols: list[str],
     )
 
 
+def lsh_params(threshold: float, k: int = 16,
+               fn_weight: float = 0.5) -> tuple[int, int]:
+    """Threshold-driven LSH band structure: choose (bands b, rows r)
+    with b·r == k minimizing the weighted S-curve error around the
+    target Jaccard ``threshold`` —
+    fp area = ∫₀ᵗ 1-(1-sʳ)ᵇ ds (low-similarity pairs that collide; the
+    quadratic mass at corpus scale), fn area = ∫ₜ¹ (1-sʳ)ᵇ ds (true
+    near-dups that never collide).  The 100 TB user knob is the
+    similarity threshold, not a band count: callers state intent
+    (t=0.7) and the structure follows; all k paid-for hashes are used
+    (b·r == k exactly).  Deterministic closed-form trapezoid integral —
+    no randomness, so the DuckDB oracle built from the same derived
+    constants stays in lockstep."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    best, best_err = None, None
+    for r in range(1, k + 1):
+        if k % r:
+            continue
+        b = k // r
+        steps = 200
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s ** r) ** b
+            if s < threshold:
+                fp += p / steps
+            else:
+                fn += (1.0 - p) / steps
+        err = (1.0 - fn_weight) * fp + fn_weight * fn
+        if best_err is None or err < best_err:
+            best, best_err = (b, r), err
+    return best
+
+
 def cap_buckets(bands: DataFrame, keys: list[str], max_bucket: int,
                 observation=None) -> DataFrame:
     """LSH bucket-size cap (quadratic-blowup guard): drop every bucket

@@ -31,13 +31,19 @@ STOPWORDS = {
     "fr": ("le", "la", "les", "des", "est", "une", "dans", "pour", "que", "qui"),
 }
 
-# 16 hashes in 4 bands of 4: P(candidate | J) = 1-(1-J⁴)⁴ ≈ 0.98 at
-# J=0.8 but ~4e-4 at J=0.1 — low-similarity pairs (the quadratic mass in
-# any big corpus) almost never collide, so candidate volume stays linear
-# at scale; 2 bands of 2 was measured 425k candidate pairs / 93 s on the
-# sf0.1 dup-rich corpus vs ~10k / ~8 s with this setting.
+# The LSH band structure is derived from the target Jaccard threshold
+# (functions.minhash.lsh_params: minimize S-curve fp+fn area around t),
+# not hardcoded — at t=0.7 / k=16 it resolves to 4 bands of 4:
+# P(candidate | J) = 1-(1-J⁴)⁴ ≈ 0.98 at J=0.8 but ~4e-4 at J=0.1 —
+# low-similarity pairs (the quadratic mass in any big corpus) almost
+# never collide, so candidate volume stays linear at scale; 2 bands of
+# 2 (the t≈0.35 structure) was measured 425k candidate pairs / 93 s on
+# the sf0.1 dup-rich corpus vs ~10k / ~8 s with this setting.
 NUM_MINHASH = 16
-LSH_BAND = 4
+LSH_THRESHOLD = 0.7
+from ..functions.minhash import lsh_params as _lsh_params  # noqa: E402
+
+LSH_BANDS, LSH_BAND = _lsh_params(LSH_THRESHOLD, NUM_MINHASH)
 
 
 def _norm_sql(col: str, duck: bool) -> str:
@@ -772,14 +778,15 @@ from ..operators.link import MAX_BUCKET as LSH_MAX_BUCKET  # noqa: E402
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates over the dup-rich corpus:
-    shingle → 16-hash signature → 4 bands of 4 → capped bucket join →
+    shingle → 16-hash signature → threshold-driven banding
+    (lsh_params(t=0.7, k=16) → 4 bands of 4) → capped bucket join →
     ordered distinct pairs.  Buckets larger than LSH_MAX_BUCKET are
     dropped before the self-join (oracle applies the identical cap)."""
     from ..functions.minhash import minhash_from_rows
 
     d = _dup_rich_docs(spark, sf_dir)
     sig = minhash_from_rows(_shingle_rows(d), ["doc_id"], k=NUM_MINHASH)
-    n_bands = NUM_MINHASH // LSH_BAND
+    n_bands = LSH_BANDS
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -810,7 +817,7 @@ with sig as (
 bands as (
   select doc_id,
          concat(b::varchar, '#', array_to_string(mh[b*{LSH_BAND}+1:b*{LSH_BAND}+{LSH_BAND}], '|')) as bucket
-  from sig, unnest(generate_series(0, {NUM_MINHASH // LSH_BAND - 1})) t(b)
+  from sig, unnest(generate_series(0, {LSH_BANDS - 1})) t(b)
 ),
 capped as (
   select doc_id, bucket from bands

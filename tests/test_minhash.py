@@ -313,3 +313,36 @@ def test_robots_rules_parser_group_selection(spark):
     robots = spark.createDataFrame([("h", body)], "host string, body string")
     got = {(r.path_pattern, r.allow) for r in robots_rules(robots).collect()}
     assert got == {("/a", False), ("/a/ok", True), ("/c", False)}
+
+
+def test_lsh_params_threshold_driven_band_selection():
+    """The band structure derives from the target Jaccard threshold
+    (S-curve fp+fn area minimization), uses every paid-for hash
+    (b*r == k), and is monotone: higher thresholds -> more rows per
+    band (sharper curve)."""
+    from gleaner_spark.functions.minhash import lsh_params
+
+    assert lsh_params(0.7, 16) == (4, 4)   # the registry query's setting
+    assert lsh_params(0.3, 16) == (8, 2)
+    assert lsh_params(0.9, 16) == (1, 16)
+    prev_r = 0
+    for t in (0.2, 0.4, 0.6, 0.8, 0.95):
+        b, r = lsh_params(t, 16)
+        assert b * r == 16
+        assert r >= prev_r
+        prev_r = r
+    with pytest.raises(ValueError):
+        lsh_params(0.0)
+    with pytest.raises(ValueError):
+        lsh_params(1.0)
+
+
+def test_lsh_registry_constants_in_lockstep():
+    """queries.py derives LSH_BANDS/LSH_BAND from LSH_THRESHOLD — the
+    Spark plan and the DuckDB oracle text are both built from these, so
+    they cannot drift apart."""
+    from gleaner_spark.plans import queries as q
+
+    assert (q.LSH_BANDS, q.LSH_BAND) == (4, 4)
+    assert q.LSH_BANDS * q.LSH_BAND == q.NUM_MINHASH
+    assert f"generate_series(0, {q.LSH_BANDS - 1})" in q.O_DEDUP_MINHASH
