@@ -46,6 +46,7 @@ HEADLINE = [
     "embedding_centroids",
     "kg_extract_mill",
     "kg_js_inline_recover",
+    "kg_microdata_rdfa",
     "kg_graph_urn",
     "kg_shape_validation",
     "kg_shape_report",

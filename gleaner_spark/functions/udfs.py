@@ -173,3 +173,34 @@ def winnow_fp_udf(texts: pd.Series) -> pd.Series:
         ["|".join(hex(h)[2:] for h in winnow_fingerprint(t or ""))
          for t in texts]
     )
+
+
+_STRUCTURED_SCHEMA = T.ArrayType(
+    T.StructType([
+        T.StructField("subject", T.StringType()),
+        T.StructField("predicate", T.StringType()),
+        T.StructField("object", T.StringType()),
+        T.StructField("syntax", T.StringType()),
+    ])
+)
+
+
+@F.pandas_udf(_STRUCTURED_SCHEMA)
+def structured_triples_udf(html: pd.Series) -> pd.Series:
+    """html binary → array of (subject, predicate, object, syntax) from
+    microdata + RDFa Lite markup (core/structured.py).  Beyond reference
+    parity — the Go harvest is JSON-LD-only (acquire.go:216-252) — but
+    part of this engine's north-star extraction surface; terms use the
+    same n-quads shapes the mill emits, so downstream stages are shared."""
+    from ..core import structured as core_structured
+
+    def one(h):
+        if h is None:
+            return []
+        s = bytes(h).decode("utf-8", errors="replace")
+        try:
+            return core_structured.structured_triples(s)
+        except Exception:
+            return []
+
+    return pd.Series([one(h) for h in html])

@@ -281,3 +281,15 @@ def test_ann_ivf_nprobe_recall_sweep(spark):
     assert rs[-1] == 1.0, recalls       # all cells probed == exact
     for nprobe, r in recalls:
         assert r >= (nprobe / 10) / 2, recalls
+
+
+def test_microdata_rdfa_plan_is_shuffle_free(spark):
+    """The structured-data extraction is a scan → projection (pandas
+    UDF) → explode: at 100 TB it must run at scan parallelism with NO
+    exchange — assert the plan carries the pushed doc_id filter and
+    zero shuffles."""
+    df = QUERIES["kg_microdata_rdfa"][0](spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+    assert "ArrowEvalPython" in plan or "EvalPython" in plan
