@@ -21,6 +21,7 @@ the Spark plan.
 
 from __future__ import annotations
 
+import hashlib
 import re
 from dataclasses import dataclass, field
 
@@ -31,6 +32,7 @@ __all__ = [
     "microdata_triples",
     "rdfa_triples",
     "structured_triples",
+    "page_structured",
 ]
 
 # ---------------------------------------------------------------------------
@@ -399,3 +401,28 @@ def structured_triples(html: str) -> list[tuple[str, str, str, str]]:
     out = [(s, p, o, "microdata") for s, p, o in microdata_triples(html)]
     out.extend((s, p, o, "rdfa") for s, p, o in rdfa_triples(html))
     return out
+
+
+def page_structured(html: str) -> tuple[str, list[tuple[str, str, str, str]]]:
+    """Pipeline-facing per-page contract: ``(content_sha, triples)`` with
+    blank nodes skolemized the same way the mill skolemizes document
+    blanks (``_:b{sha}_{label}``, core/mill.py), so structured triples
+    can be unioned into the shared (subject, predicate, object, graph)
+    relation without cross-page blank-label collisions.
+
+    The sha is SHA-256 over the sorted pre-skolemization term lines —
+    content-addressed exactly like the JSON-LD graph URNs (north rule's
+    "SHA-256-of-normalized-document"): two pages carrying identical
+    markup map to one graph and the materialize dedup collapses them,
+    mirroring the doc-sha dedup on the JSON-LD path."""
+    trips = structured_triples(html)
+    if not trips:
+        return "", []
+    lines = sorted(f"{s} {p} {o}" for (s, p, o, _x) in trips)
+    sha = hashlib.sha256("\n".join(lines).encode("utf-8")).hexdigest()
+    pre = f"_:b{sha}_"
+
+    def sk(term: str) -> str:
+        return pre + term[2:] if term.startswith("_:") else term
+
+    return sha, [(sk(s), p, sk(o), x) for (s, p, o, x) in trips]

@@ -204,3 +204,31 @@ def structured_triples_udf(html: pd.Series) -> pd.Series:
             return []
 
     return pd.Series([one(h) for h in html])
+
+
+_STRUCTURED_PAGE_SCHEMA = T.StructType([
+    T.StructField("sha", T.StringType()),
+    T.StructField("triples", _STRUCTURED_SCHEMA),
+])
+
+
+@F.pandas_udf(_STRUCTURED_PAGE_SCHEMA)
+def structured_page_udf(html: pd.Series) -> pd.DataFrame:
+    """Pipeline variant of ``structured_triples_udf``: per page, the
+    content sha (graph-URN key) plus blank-skolemized triples
+    (core/structured.page_structured) — one Arrow pass, triples arrive
+    collision-free for the shared triples relation."""
+    from ..core import structured as core_structured
+
+    shas, triples = [], []
+    for h in html:
+        sha, trips = "", []
+        if h is not None:
+            s = bytes(h).decode("utf-8", errors="replace")
+            try:
+                sha, trips = core_structured.page_structured(s)
+            except Exception:
+                sha, trips = "", []
+        shas.append(sha)
+        triples.append(trips)
+    return pd.DataFrame({"sha": shas, "triples": triples})

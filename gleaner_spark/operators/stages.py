@@ -135,6 +135,52 @@ def extract_stage(pages_with_source: DataFrame,
     return exploded
 
 
+def structured_stage(pages_with_source: DataFrame,
+                     bucket: str = DEFAULT_BUCKET) -> DataFrame:
+    """Microdata + RDFa Lite triples from raw HTML, mill-shaped —
+    ``(subject, predicate, object, graph, source)``.  Beyond reference
+    parity (the Go harvest is JSON-LD-only, acquire.go:216-252) but part
+    of this engine's north-star extraction surface; core semantics in
+    ``core/structured.py``.
+
+    Scale shape: a JVM substring pre-filter keeps pages without any
+    structured-markup marker out of the Arrow/Python pass entirely —
+    microdata triples require ``itemscope`` and RDFa Lite triples
+    require a ``property=``/``typeof=``/``vocab=`` attribute, so the
+    filter admits every page that could yield a triple (false positives
+    just cost a parse).  At web scale most html bytes never cross Arrow.
+
+    Graph URN: ``urn:{bucket}:{source}:sd:{content_sha}`` — the ``sd``
+    segment marks the beyond-reference provenance and keeps these graphs
+    distinguishable from the reference-parity JSON-LD graph URNs
+    (prov.go:96); the sha is content-addressed so identical markup on
+    two pages collapses to one graph in the materialize dedup, matching
+    the doc-sha dedup on the JSON-LD path."""
+    from ..functions.udfs import structured_page_udf
+
+    h = F.col("html").cast("string")
+    cand = pages_with_source.filter(
+        h.contains("itemscope") | h.contains("property=")
+        | h.contains("typeof=") | h.contains("vocab=")
+    )
+    parsed = cand.withColumn("sd", structured_page_udf(F.col("html")))
+    return (
+        parsed.filter(F.size("sd.triples") > 0)
+        .select("source", F.col("sd.sha").alias("sha"),
+                F.explode("sd.triples").alias("t"))
+        .select(
+            F.col("t.subject").alias("subject"),
+            F.col("t.predicate").alias("predicate"),
+            F.col("t.object").alias("object"),
+            F.concat_ws(
+                ":", F.lit("urn"), F.lit(bucket), F.col("source"),
+                F.lit("sd"), F.col("sha"),
+            ).alias("graph"),
+            "source",
+        )
+    )
+
+
 def normalize_stage(blocks: DataFrame) -> DataFrame:
     """S2: fix-ups + validity + identifiers.  Output: one row per
     candidate block with parity columns; ``valid`` rows carry doc ids."""

@@ -114,6 +114,7 @@ from ..operators.stages import (
     mill_stage,
     normalize_stage,
     salted_repartition,
+    structured_stage,
     with_source,
 )
 from ..operators.stats import run_stats
@@ -128,6 +129,10 @@ class PipelineConfig:
     link_entities: bool = True
     salt_partitions: int | None = None
     write_stats: bool = True
+    #: microdata/RDFa Lite extraction (operators/stages.structured_stage)
+    #: — beyond reference parity but part of the north-star extraction
+    #: surface; near-free on markup-less corpora (JVM marker pre-filter)
+    extract_structured: bool = True
 
 
 @dataclass
@@ -364,6 +369,15 @@ def _run_pipeline(
     # harvest, pkg/gleaner.go:18-52)
     if sources_dim is not None and cfg.mode != "diff":
         triples = triples.unionByName(org_triples(sources_dim, cfg.bucket))
+
+    # Microdata/RDFa Lite triples union in before persist/link, so they
+    # ride the same raw-triples table, entity linking and materialize
+    # dedup as the JSON-LD mill output.  One extra scan of the pages
+    # input (html column only, behind a JVM marker pre-filter) — in diff
+    # mode ``pages`` is already the resume delta, so append semantics
+    # carry over unchanged.
+    if cfg.extract_structured:
+        triples = triples.unionByName(structured_stage(pages, cfg.bucket))
 
     # Persist raw (pre-linking) triples — the reference's ``milled/``
     # prefix as a table — and CACHE the read-back: the linker scans the

@@ -163,8 +163,42 @@ PAGE_TEMPLATE = (
     "{scripts}</head>"
     "<body><h1>Record {i}</h1><p>{body}</p>"
     "<!-- <script type=\"application/ld+json\">{{\"decoy\": true}}</script> -->"
-    "</body></html>"
+    "{footer}</body></html>"
 )
+
+
+def structured_footer(i: int, host: str) -> str:
+    """Deterministic microdata/RDFa Lite footer for ~1 page in 5 —
+    exercises the beyond-reference structured-markup extraction surface
+    (operators/stages.structured_stage) end-to-end.  ``i % 10 == 7`` →
+    a microdata Organization footer (itemid subject + a blank-node
+    member, so skolemization is on the path); ``i % 10 == 3`` → an RDFa
+    Article with subject chaining through a blank-node author.  Org
+    names reuse the gold alias clusters so entity linking sees the same
+    mention surface from both extraction paths."""
+    m = i % 10
+    alias, _ = org_mention(i)
+    if m == 7:
+        return (
+            '<footer itemscope itemtype="https://schema.org/Organization"'
+            f' itemid="https://{host}/org">'
+            f'<span itemprop="name">{alias}</span>'
+            f'<a itemprop="url" href="https://{host}/">home</a>'
+            '<span itemprop="member" itemscope'
+            ' itemtype="https://schema.org/Person">'
+            f'<span itemprop="name">Member {i % 7}</span></span>'
+            "</footer>"
+        )
+    if m == 3:
+        return (
+            '<div vocab="https://schema.org/" typeof="Article"'
+            f' resource="https://{host}/page/{i}#article">'
+            f'<span property="headline">Record {i}</span>'
+            '<span property="author" typeof="Person">'
+            f'<span property="name">Author {i % 50}</span></span>'
+            "</div>"
+        )
+    return ""
 
 _VOCAB = (
     "spark batch line column order small sort fast value scan hash slow "
@@ -282,7 +316,8 @@ def page_row(i: int, profile: str = "light") -> dict:
             )
         else:
             scripts = ""
-        html = PAGE_TEMPLATE.format(i=i, scripts=scripts, body=body)
+        html = PAGE_TEMPLATE.format(i=i, scripts=scripts, body=body,
+                                    footer=structured_footer(i, host))
     else:
         url = f"https://{host}/page/{i}"
         blocks = jsonld_blocks(i)
@@ -298,7 +333,8 @@ def page_row(i: int, profile: str = "light") -> dict:
             f'<script type="application/ld+json">{b}</script>'
             for b in blocks
         )
-        html = PAGE_TEMPLATE.format(i=i, scripts=scripts, body=body)
+        html = PAGE_TEMPLATE.format(i=i, scripts=scripts, body=body,
+                                    footer=structured_footer(i, host))
     return {
         "url": url,
         "warc_ts": ts,

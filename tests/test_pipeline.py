@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from gleaner_spark.core import extract as core_extract
 from gleaner_spark.core import ids as core_ids
 from gleaner_spark.core import mill as core_mill
+from gleaner_spark.core import structured as core_structured
 from gleaner_spark.core.contextfix import fix_all
 from gleaner_spark.operators.link import (
     connected_components,
@@ -43,9 +44,14 @@ def expected_docs_and_triples(n: int):
     dedup) preserves per-document semantics end-to-end."""
     host_cfg = {r["domain"]: r for r in sources_rows() if r["active"]}
     docs: dict[str, dict] = {}
+    structured: set[tuple[str, str, str]] = set()
     for i in range(n):
         row = page_row(i)
         html = row["html"].decode("utf-8")
+        # beyond-reference surface: microdata/RDFa footer triples
+        # (skolemized, same pure contract structured_stage wraps)
+        for (s, p, o, _x) in core_structured.page_structured(html)[1]:
+            structured.add((s, p, o))
         blocks = core_extract.extract_jsonld_strings(html, row["url"])
         if not blocks:
             # mirror extract_stage's js-inline recovery for
@@ -75,6 +81,7 @@ def expected_docs_and_triples(n: int):
     for d in docs.values():
         for q in core_mill.mill(d["fixed"], d["sha"], ""):
             triples.add((q.subject, q.predicate, q.object))
+    triples |= structured
     return docs, triples
 
 
@@ -165,6 +172,33 @@ def test_graph_urn_shape(corpus):
     r = result.triples.filter("source = 'src00'").first()
     assert r.graph.startswith("urn:gleaner:src00:")
     assert len(r.graph.split(":")[-1]) == 64  # sha256 hex
+
+
+def test_structured_stage_in_pipeline(corpus):
+    """Microdata/RDFa footer triples land in the final relation under
+    ``urn:{bucket}:{source}:sd:{sha}`` graphs, blank nodes skolemized
+    per content sha, exactly matching the pure contract
+    (core/structured.page_structured) per page."""
+    result, _, _ = corpus
+    sd = result.triples.filter(F.col("graph").rlike("^urn:gleaner:[^:]+:sd:"))
+    rows = sd.collect()
+    assert rows, "structured footer pages must contribute triples"
+    got = {(r.subject, r.predicate, r.object) for r in rows}
+    expected = set()
+    for i in range(N_PAGES):
+        row = page_row(i)
+        for (s, p, o, _x) in core_structured.page_structured(
+                row["html"].decode("utf-8"))[1]:
+            expected.add((s, p, o))
+    assert got == expected
+    # graph key is the page content sha; blank labels carry it (mill's
+    # _:b{sha}_ convention) so cross-page collisions are impossible
+    for r in rows:
+        sha = r.graph.split(":")[-1]
+        assert len(sha) == 64
+        for t in (r.subject, r.object):
+            if t.startswith("_:"):
+                assert t.startswith(f"_:b{sha}_"), (t, sha)
 
 
 def test_strict_source_bypasses_fixups(corpus):

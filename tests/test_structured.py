@@ -274,3 +274,36 @@ def test_structured_triples_tags_syntax_and_keeps_order():
 
 def test_structured_triples_plain_page_empty():
     assert structured_triples("<html><body><p>no data</p></body></html>") == []
+
+
+# ---------------------------------------------------------------------------
+# pipeline contract: content sha + skolemization
+# ---------------------------------------------------------------------------
+
+def test_page_structured_sha_and_skolemization():
+    from gleaner_spark.core.structured import page_structured
+
+    html = (
+        '<div itemscope itemtype="https://schema.org/Thing">'
+        '<span itemprop="name">md</span></div>'
+    )
+    sha, trips = page_structured(html)
+    assert len(sha) == 64
+    # blank labels carry the content sha (the mill's _:b{sha}_ shape)
+    assert trips == [
+        ("_:b%s_md0" % sha,
+         "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+         "<https://schema.org/Thing>", "microdata"),
+        ("_:b%s_md0" % sha, "<https://schema.org/name>", '"md"',
+         "microdata"),
+    ]
+    # content-addressed: identical markup → identical sha; any change →
+    # a different sha (and thus a different graph + blank namespace)
+    assert page_structured(html)[0] == sha
+    assert page_structured(html.replace("md", "x"))[0] != sha
+
+
+def test_page_structured_empty_page():
+    from gleaner_spark.core.structured import page_structured
+
+    assert page_structured("<p>plain</p>") == ("", [])
