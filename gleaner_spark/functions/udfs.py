@@ -206,29 +206,55 @@ def structured_triples_udf(html: pd.Series) -> pd.Series:
     return pd.Series([one(h) for h in html])
 
 
-_STRUCTURED_PAGE_SCHEMA = T.StructType([
-    T.StructField("sha", T.StringType()),
-    T.StructField("triples", _STRUCTURED_SCHEMA),
+EXTRACT_PAGE_SCHEMA = T.StructType([
+    T.StructField("blocks", _BLOCK_SCHEMA),
+    T.StructField("sd_sha", T.StringType()),
+    T.StructField("sd", _STRUCTURED_SCHEMA),
 ])
 
 
-@F.pandas_udf(_STRUCTURED_PAGE_SCHEMA)
-def structured_page_udf(html: pd.Series) -> pd.DataFrame:
-    """Pipeline variant of ``structured_triples_udf``: per page, the
-    content sha (graph-URN key) plus blank-skolemized triples
-    (core/structured.page_structured) — one Arrow pass, triples arrive
-    collision-free for the shared triples relation."""
+@F.pandas_udf(EXTRACT_PAGE_SCHEMA)
+def extract_page_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
+    """Fused per-page extraction: JSON-LD blocks (static + js-inline
+    recovery, identical contract to ``extract_with_recovery_udf``) PLUS
+    the microdata/RDFa Lite structured triples
+    (core/structured.page_structured, blank nodes skolemized per content
+    sha) in ONE Arrow pass.  At web scale the raw html is the dominant
+    IO + transfer cost of the whole job — fusing means it is scanned,
+    Arrow-shipped and utf-8-decoded exactly once, and every per-page
+    parse shares that decode.  Both gates run Python-side on the
+    already-decoded string (a column-level ``F.when(gate, udf)`` would
+    NOT short-circuit — Spark extracts Python UDFs out of conditionals
+    and evaluates them on every row)."""
     from ..core import structured as core_structured
 
-    shas, triples = [], []
-    for h in html:
+    blocks_out: list = []
+    shas: list = []
+    sds: list = []
+    for h, u in zip(html, url):
+        blocks: list = []
         sha, trips = "", []
         if h is not None:
             s = bytes(h).decode("utf-8", errors="replace")
-            try:
-                sha, trips = core_structured.page_structured(s)
-            except Exception:
-                sha, trips = "", []
+            blocks = [(b, "static")
+                      for b in core_extract.extract_jsonld_strings(s, u or "")]
+            if not blocks and (
+                "application/ld+json" in s or '"@context"' in s
+                or '"@type"' in s or '"@graph"' in s
+            ):
+                blocks = [(b, "js_inline")
+                          for b in core_extract.find_inline_jsonld(s)]
+            # structured-markup gate: microdata needs ``itemscope``,
+            # RDFa Lite needs a property=/typeof=/vocab= attribute — the
+            # gate admits every page that could yield a triple, a false
+            # positive just costs one parse
+            if ("itemscope" in s or "property=" in s or "typeof=" in s
+                    or "vocab=" in s):
+                try:
+                    sha, trips = core_structured.page_structured(s)
+                except Exception:
+                    sha, trips = "", []
+        blocks_out.append(blocks)
         shas.append(sha)
-        triples.append(trips)
-    return pd.DataFrame({"sha": shas, "triples": triples})
+        sds.append(trips)
+    return pd.DataFrame({"blocks": blocks_out, "sd_sha": shas, "sd": sds})

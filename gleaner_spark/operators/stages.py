@@ -74,8 +74,10 @@ def salted_repartition(pages: DataFrame, partitions: int, salt: int = 8) -> Data
 
 
 def extract_stage(pages_with_source: DataFrame,
-                  recover_js_inline: bool = True) -> DataFrame:
-    """S1: html → exploded candidate JSON-LD strings.
+                  recover_js_inline: bool = True,
+                  extract_structured: bool = True) -> DataFrame:
+    """S1: html → exploded candidate JSON-LD strings (+ per-page
+    structured-markup payload).
 
     Keeps zero-block pages as block_idx = -1 / jsonld NULL rows so the
     visit is recorded (the reference's ``NILL:`` KV bookkeeping,
@@ -88,26 +90,56 @@ def extract_stage(pages_with_source: DataFrame,
     only reaches via headless rendering (headlessNG.go:302-349).
     Recovered blocks carry ``via = 'js_inline'`` (static ones ``via =
     'static'``) so stats can report recovered vs remaining headless
-    candidates separately.  Extraction + recovery run in ONE pandas UDF
-    pass with the gate evaluated Python-side on the already-decoded
-    string: the corpus html crosses Arrow exactly once (an F.when(gate,
-    udf) column gate would NOT short-circuit — Spark evaluates Python
-    UDFs unconditionally).
-    """
-    from ..functions.udfs import extract_with_recovery_udf
+    candidates separately.
 
-    if recover_js_inline:
-        extracted = pages_with_source.withColumn(
-            "blocks", extract_with_recovery_udf(F.col("html"), F.col("url"))
+    ``extract_structured`` (default on): microdata + RDFa Lite triples
+    (core/structured.page_structured) ride along as per-page ``sd_sha``
+    / ``sd`` columns, carried on each page's single anchor row
+    (block_idx ≤ 0) and NULL elsewhere, so the exploded relation stores
+    exactly one copy.  ``structured_stage`` derives the mill-shaped
+    triples from the persisted blocks table — at web scale the raw html
+    is the dominant IO cost and this keeps it to ONE scan / ONE Arrow
+    crossing for both extraction surfaces (all gates run Python-side on
+    the already-decoded string: an F.when(gate, udf) column gate would
+    NOT short-circuit — Spark evaluates Python UDFs unconditionally).
+    """
+    from ..functions.udfs import (
+        EXTRACT_PAGE_SCHEMA,
+        extract_page_udf,
+        extract_with_recovery_udf,
+    )
+
+    sd_t = EXTRACT_PAGE_SCHEMA["sd"].dataType
+    if recover_js_inline and extract_structured:
+        extracted = (
+            pages_with_source
+            .withColumn("page", extract_page_udf(F.col("html"), F.col("url")))
+            .withColumn("blocks", F.col("page.blocks"))
+            .withColumn("sd_sha", F.col("page.sd_sha"))
+            .withColumn("sd", F.col("page.sd"))
+            .drop("page")
+        )
+    elif recover_js_inline:
+        extracted = (
+            pages_with_source
+            .withColumn("blocks",
+                        extract_with_recovery_udf(F.col("html"), F.col("url")))
+            .withColumn("sd_sha", F.lit(None).cast("string"))
+            .withColumn("sd", F.lit(None).cast(sd_t))
         )
     else:
-        extracted = pages_with_source.withColumn(
-            "blocks",
-            F.transform(
-                extract_jsonld_udf(F.col("html"), F.col("url")),
-                lambda x: F.struct(x.alias("jsonld"),
-                                   F.lit("static").alias("via")),
-            ),
+        extracted = (
+            pages_with_source
+            .withColumn(
+                "blocks",
+                F.transform(
+                    extract_jsonld_udf(F.col("html"), F.col("url")),
+                    lambda x: F.struct(x.alias("jsonld"),
+                                       F.lit("static").alias("via")),
+                ),
+            )
+            .withColumn("sd_sha", F.lit(None).cast("string"))
+            .withColumn("sd", F.lit(None).cast(sd_t))
         )
     extracted = extracted.withColumn(
         # headless-coverage signal (S5 gap metric): the raw bytes mention
@@ -121,7 +153,7 @@ def extract_stage(pages_with_source: DataFrame,
     )
     cols = ["url", "warc_ts", "source", "host", "lang",
             "identifiertype", "identifierpath", "fixcontextoption",
-            "has_ldjson_marker"]
+            "has_ldjson_marker", "sd_sha", "sd"]
     exploded = (
         extracted.select(
             *cols,
@@ -131,24 +163,31 @@ def extract_stage(pages_with_source: DataFrame,
         .withColumn("jsonld", F.col("block.jsonld"))
         .withColumn("via", F.col("block.via"))
         .drop("block")
+        # one sd copy per page: only the anchor row (block_idx ≤ 0 —
+        # exactly one exists per page: 0 if blocks, -1 if none) keeps
+        # the structured payload
+        .withColumn("sd_sha",
+                    F.when(F.col("block_idx") <= 0, F.col("sd_sha")))
+        .withColumn("sd", F.when(F.col("block_idx") <= 0, F.col("sd")))
     )
     return exploded
 
 
-def structured_stage(pages_with_source: DataFrame,
+def structured_stage(blocks: DataFrame,
                      bucket: str = DEFAULT_BUCKET) -> DataFrame:
-    """Microdata + RDFa Lite triples from raw HTML, mill-shaped —
-    ``(subject, predicate, object, graph, source)``.  Beyond reference
-    parity (the Go harvest is JSON-LD-only, acquire.go:216-252) but part
-    of this engine's north-star extraction surface; core semantics in
+    """Microdata + RDFa Lite triples, mill-shaped — ``(subject,
+    predicate, object, graph, source)``.  Beyond reference parity (the
+    Go harvest is JSON-LD-only, acquire.go:216-252) but part of this
+    engine's north-star extraction surface; core semantics in
     ``core/structured.py``.
 
-    Scale shape: a JVM substring pre-filter keeps pages without any
-    structured-markup marker out of the Arrow/Python pass entirely —
-    microdata triples require ``itemscope`` and RDFa Lite triples
-    require a ``property=``/``typeof=``/``vocab=`` attribute, so the
-    filter admits every page that could yield a triple (false positives
-    just cost a parse).  At web scale most html bytes never cross Arrow.
+    Input is the EXTRACT relation (``extract_stage`` output or its
+    persisted read-back), not raw pages: the structured parse is fused
+    into extract's single html Arrow pass and rides each page's anchor
+    row (block_idx ≤ 0) as the ``sd_sha``/``sd`` columns.  This stage is
+    therefore a pure JVM filter + explode over two small columns —
+    parquet column pruning means the raw html is never re-read, the
+    decisive cost at web scale.
 
     Graph URN: ``urn:{bucket}:{source}:sd:{content_sha}`` — the ``sd``
     segment marks the beyond-reference provenance and keeps these graphs
@@ -156,25 +195,20 @@ def structured_stage(pages_with_source: DataFrame,
     (prov.go:96); the sha is content-addressed so identical markup on
     two pages collapses to one graph in the materialize dedup, matching
     the doc-sha dedup on the JSON-LD path."""
-    from ..functions.udfs import structured_page_udf
-
-    h = F.col("html").cast("string")
-    cand = pages_with_source.filter(
-        h.contains("itemscope") | h.contains("property=")
-        | h.contains("typeof=") | h.contains("vocab=")
+    anchored = blocks.filter(
+        (F.col("block_idx") <= 0) & F.col("sd").isNotNull()
+        & (F.size("sd") > 0)
     )
-    parsed = cand.withColumn("sd", structured_page_udf(F.col("html")))
     return (
-        parsed.filter(F.size("sd.triples") > 0)
-        .select("source", F.col("sd.sha").alias("sha"),
-                F.explode("sd.triples").alias("t"))
+        anchored
+        .select("source", "sd_sha", F.explode("sd").alias("t"))
         .select(
             F.col("t.subject").alias("subject"),
             F.col("t.predicate").alias("predicate"),
             F.col("t.object").alias("object"),
             F.concat_ws(
                 ":", F.lit("urn"), F.lit(bucket), F.col("source"),
-                F.lit("sd"), F.col("sha"),
+                F.lit("sd"), F.col("sd_sha"),
             ).alias("graph"),
             "source",
         )
