@@ -210,6 +210,7 @@ EXTRACT_PAGE_SCHEMA = T.StructType([
     T.StructField("blocks", _BLOCK_SCHEMA),
     T.StructField("sd_sha", T.StringType()),
     T.StructField("sd", _STRUCTURED_SCHEMA),
+    T.StructField("has_ldjson_marker", T.BooleanType()),
 ])
 
 
@@ -231,11 +232,17 @@ def extract_page_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
     blocks_out: list = []
     shas: list = []
     sds: list = []
+    markers: list = []
     for h, u in zip(html, url):
         blocks: list = []
         sha, trips = "", []
+        marker = False
         if h is not None:
             s = bytes(h).decode("utf-8", errors="replace")
+            # headless-coverage signal (S5 gap metric) — folded into
+            # this pass so the JVM never re-decodes the html bytes just
+            # to substring-scan them (a second full pass at web scale)
+            marker = "application/ld+json" in s
             blocks = [(b, "static")
                       for b in core_extract.extract_jsonld_strings(s, u or "")]
             if not blocks and (
@@ -257,4 +264,6 @@ def extract_page_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
         blocks_out.append(blocks)
         shas.append(sha)
         sds.append(trips)
-    return pd.DataFrame({"blocks": blocks_out, "sd_sha": shas, "sd": sds})
+        markers.append(marker)
+    return pd.DataFrame({"blocks": blocks_out, "sd_sha": shas, "sd": sds,
+                         "has_ldjson_marker": markers})

@@ -117,6 +117,16 @@ def extract_stage(pages_with_source: DataFrame,
             .withColumn("blocks", F.col("page.blocks"))
             .withColumn("sd_sha", F.col("page.sd_sha"))
             .withColumn("sd", F.col("page.sd"))
+            # headless-coverage signal (S5 gap metric): the raw bytes
+            # mention ld+json somewhere — if extraction then yields zero
+            # blocks, the JSON-LD is likely injected by scripts the
+            # reference renders headlessly (headlessNG.go:151-429).
+            # Computed inside the fused UDF pass (the string is already
+            # decoded there; a JVM contains() would re-decode every
+            # page's bytes just to substring-scan them).  Stats counts
+            # the (block_idx = -1 AND marker) pages so the gap is
+            # MEASURED instead of silently missing.
+            .withColumn("has_ldjson_marker", F.col("page.has_ldjson_marker"))
             .drop("page")
         )
     elif recover_js_inline:
@@ -141,16 +151,12 @@ def extract_stage(pages_with_source: DataFrame,
             .withColumn("sd_sha", F.lit(None).cast("string"))
             .withColumn("sd", F.lit(None).cast(sd_t))
         )
-    extracted = extracted.withColumn(
-        # headless-coverage signal (S5 gap metric): the raw bytes mention
-        # ld+json somewhere — if extraction then yields zero blocks, the
-        # JSON-LD is likely injected by scripts the reference renders
-        # headlessly (headlessNG.go:151-429).  Pure JVM contains() on the
-        # bytes; stats counts the (block_idx = -1 AND marker) pages so
-        # the gap is MEASURED instead of silently missing.
-        "has_ldjson_marker",
-        F.col("html").cast("string").contains("application/ld+json"),
-    )
+    if "has_ldjson_marker" not in extracted.columns:
+        # non-fused branches: JVM contains() on the decoded bytes
+        extracted = extracted.withColumn(
+            "has_ldjson_marker",
+            F.col("html").cast("string").contains("application/ld+json"),
+        )
     cols = ["url", "warc_ts", "source", "host", "lang",
             "identifiertype", "identifierpath", "fixcontextoption",
             "has_ldjson_marker", "sd_sha", "sd"]
