@@ -348,9 +348,12 @@ def materialize_triples(triples: DataFrame) -> DataFrame:
     graphs via a semi/anti-join on the linker's ``_rewritten`` flag —
     but that scans the (un-materialized) link output THREE times, each
     re-running the sameAs rewrite joins, and measured 13-18 s against
-    7.2 s for the plain formulation at 120k heavy pages.  The sameAs map
-    is broadcast-sized in practice, so here the rewrite joins are
-    map-side and Spark pipelines them into the dedup exchange's map
+    7.2 s for the plain formulation at 120k heavy pages.  The upstream
+    rewrite joins are explicitly broadcast when the sameAs map's
+    measured size permits (link_stage — the checkpointed map has no
+    Catalyst stats, so without the hint they sort-merge and shuffle this
+    relation twice: 1342 s vs 411 s at 960k pages / 8 cores), making the
+    rewrite map-side so Spark pipelines it into the dedup exchange's map
     phase — exactly one pass over the fattest relation, which is also
     the right 100 TB plan (recompute amplification costs more than the
     single wide shuffle it avoided)."""

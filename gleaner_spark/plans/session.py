@@ -49,6 +49,20 @@ def build_session(
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        # Decouple shuffle WIDTH from parallelism: every AQE shuffle
+        # starts at 512 partitions and coalesces down by size, so a wide
+        # shuffle (materialize's 51M-row dedup at 960k pages would be
+        # ~2 GB per partition at cores*3 partitions) never outgrows task
+        # memory, while small-SF shuffles still coalesce to a handful of
+        # tasks.  Without this, initialPartitionNum defaults to
+        # shuffle.partitions.  (The round-5 materialize cliff itself was
+        # the sameAs rewrite join strategy, fixed in operators/link.py —
+        # this knob is the orthogonal spill guard.)  On a real cluster
+        # this is the same knob you'd raise — shuffle partition count
+        # must track data volume, not executor count.
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(
+            max(int(shuffle_partitions), 512)
+        ),
         # Arrow transfer for pandas UDFs (the extract/normalize/mill hot path)
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",

@@ -293,3 +293,48 @@ def test_microdata_rdfa_plan_is_shuffle_free(spark):
     assert "PushedFilters" in plan
     assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
     assert "ArrowEvalPython" in plan or "EvalPython" in plan
+
+
+def test_sameas_rewrite_join_strategy_gate(spark):
+    """Round-5 materialize cliff: the sameAs map is reliable_ckpt'd, so
+    Catalyst has NO stats for it and the subject/object rewrite joins
+    silently sort-merge — shuffling the fattest relation in the pipeline
+    twice (measured 1342 s vs 411 s broadcast at 960k pages / 8 cores).
+    link_stage must measure the map and hint broadcast under the size
+    gate; above the gate the shuffle join is the correct fallback."""
+    from gleaner_spark.operators.link import canonicalize_triples, link_stage
+
+    t = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    nm = "<https://schema.org/name>"
+    org = "<https://schema.org/Organization>"
+    rows = []
+    for j, alias in enumerate(["Ocean Data Consortium",
+                               "OCEAN DATA CONSORTIUM",
+                               "Ocean-Data-Consortium"]):
+        e = f"<https://ex.org/e/{j}>"
+        rows.append((e, t, org, "g", "s1"))
+        rows.append((e, nm, f'"{alias}"', "g", "s1"))
+    triples = spark.createDataFrame(
+        rows,
+        "subject string, predicate string, object string, graph string,"
+        " source string",
+    )
+
+    # small map -> gate picks broadcast: both rewrite joins hash-build
+    linked = link_stage(triples)
+    plan = _plan(linked)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # the rewrite must actually canonicalize (aliases share one id)
+    subs = {r.subject for r in linked.filter(
+        (linked.predicate == nm) & (linked.source == "s1")).collect()}
+    assert len(subs) == 1
+
+    # above the gate: explicit fallback keeps the shuffle join
+    sameas = spark.createDataFrame(
+        [("<https://ex.org/e/1>", "<https://ex.org/e/0>")],
+        "entity string, canonical string",
+    )
+    smj = canonicalize_triples(triples, sameas, broadcast_map=False)
+    assert "SortMergeJoin" in _plan(smj), _plan(smj)
+    bhj = canonicalize_triples(triples, sameas, broadcast_map=True)
+    assert _plan(bhj).count("BroadcastHashJoin") >= 2
