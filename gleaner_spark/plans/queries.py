@@ -847,44 +847,91 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     J(A,B) ≥ t must share a shingle within each side's first
     |S| − ⌈t·|S|⌉ + 1 shingles under a global rarity order, so only the
     rare-shingle prefix feeds the inverted-index self-join — candidate
-    volume scales with Σ df², which the rarity order minimizes — and the
-    full shingle sets verify exactly.  Result is IDENTICAL to the
-    exhaustive oracle; only the candidate space shrinks."""
+    volume scales with Σ df², which the rarity order minimizes — and
+    every candidate row verifies exactly.  Result is IDENTICAL to the
+    exhaustive oracle; only the candidate space shrinks.
+
+    Physical layout (round 6): shingles are dictionary-encoded to int
+    ids whose order matches the (df, shingle) rarity order, each doc
+    carries its whole set as one sorted int array, and the exact Jaccard
+    check runs INLINE in the prefix self-join stage.  The candidate pair
+    stream (76M rows at the 100k-doc corpus, 60k survivors) therefore
+    never crosses an exchange: the old plan shuffled all candidates
+    through a distinct and two array-attach joins (245 s of its 300 s
+    total); this plan shuffles only prefix rows in and survivors out."""
     t = 0.5
     d = _dup_rich_docs(spark, sf_dir)
-    # codegen shingle rows (see _shingle_rows: 13× vs the HOF array
-    # build) → distinct for set semantics → one groupBy assembles the
-    # per-doc sorted set for verification; the rows frame feeds the
-    # inverted index, the counts, AND the verification sets — barrier so
-    # the shingle expression computes once
     from ..functions.barrier import reliable_ckpt
 
-    rows = reliable_ckpt(_shingle_rows(d).distinct())
-    sh = reliable_ckpt(
-        rows.groupBy("doc_id").agg(
-            F.array_sort(F.collect_list("s")).alias("shingles"),
-            F.count("*").alias("n_sh"),
+    # codegen shingle rows (see _shingle_rows: 13× vs the HOF array
+    # build); duplicates survive until the per-doc collect_set.
+    # Barriered: both the dictionary pass and the doc-set pass read it,
+    # and tokenization (regexp_replace + split per doc) is the expensive
+    # part of the scan — pay it once.
+    raw = reliable_ckpt(_shingle_rows(d))
+
+    # global rarity dictionary: shingle → sid, with sid ORDER-CONSISTENT
+    # with the (df, s) rarity order.  df counts DISTINCT docs per
+    # shingle.  Only the ORDER of sids matters downstream (prefix
+    # selection + set intersection), so the ids themselves never reach
+    # the output.
+    dict_df = reliable_ckpt(
+        raw.groupBy("s").agg(F.count_distinct("doc_id").alias("df"))
+    )
+    n_dict = dict_df.count()
+    if n_dict <= 4_000_000:
+        # small vocabulary (the count is free post-ckpt): dense int ids
+        # from a one-task sort of the tiny dictionary, broadcast attach.
+        # Int arrays matter: ArrayIntersect over int is measurably
+        # cheaper than over the sparse longs monotonically_increasing_id
+        # yields, and this branch carries 79M verifications at sf1.0.
+        sid = reliable_ckpt(
+            dict_df.coalesce(1).sortWithinPartitions("df", "s")
+            .select("s",
+                    F.monotonically_increasing_id().cast("int").alias("sid"))
         )
-    )
+        dict_side = F.broadcast(sid)
+    else:
+        # 100 TB-scale vocabulary: order-consistent long ids via
+        # range-partition + sortWithinPartitions +
+        # monotonically_increasing_id (partition ordinal lives in the
+        # id's high bits, so cross-partition order is preserved) instead
+        # of an unbounded single-partition window; planner-chosen
+        # shuffle join for the attach.
+        n_part = max(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+        sid = reliable_ckpt(
+            dict_df.repartitionByRange(n_part, "df", "s")
+            .sortWithinPartitions("df", "s")
+            .select("s", F.monotonically_increasing_id().alias("sid"))
+        )
+        dict_side = sid
 
-    from pyspark.sql import Window
-
-    # document frequency and per-doc size as window counts over the rows
-    # frame itself — two exchanges total (by shingle, then by doc_id; the
-    # rn and n_sh windows share the doc_id partitioning) instead of the
-    # build-aggregate-then-join formulation's three
-    w_df = Window.partitionBy("s")
-    w_rn = Window.partitionBy("doc_id").orderBy("df", "s")
-    w_n = Window.partitionBy("doc_id")
-    prefix = (
-        rows.withColumn("df", F.count("*").over(w_df))
-        .withColumn("rn", F.row_number().over(w_rn))
-        .withColumn("n_sh", F.count("*").over(w_n))
-        .filter(F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1)
-        .select("doc_id", F.col("s").alias("shingle"), "rn", "n_sh")
+    # one sorted int array per doc = the rarity-ordered shingle set;
+    # ids ascending ⟺ (df, s) ascending, so slice(ids, 1, p) IS the
+    # rarity prefix and rn is the array position
+    docs = reliable_ckpt(
+        raw.join(dict_side, "s")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("sid")).alias("ids"))
+        .withColumn("n_sh", F.size("ids"))
     )
-    # candidate join with BOTH prunes inside the join (PPJoin-style),
-    # before the pair-dedup shuffle:
+    plen = "cast(n_sh - ceil(0.5 * n_sh) + 1 as int)"
+    pref = docs.select(
+        "doc_id", "ids", "n_sh",
+        F.posexplode(F.expr(f"slice(ids, 1, {plen})")).alias("p", "sid"),
+    ).select("doc_id", "ids", "n_sh", (F.col("p") + 1).alias("rn"), "sid")
+    # the self-join's verify stage is compute-bound (79M inline exact
+    # Jaccard checks at sf1.0), not byte-bound: AQE's size-based
+    # coalescing would run it ~10-wide, so pin the join width to the
+    # compute parallelism instead (a repartition by the join key replaces
+    # the join's own exchange — no extra shuffle)
+    verify_parts = max(8 * spark.sparkContext.defaultParallelism,
+                       int(spark.conf.get("spark.sql.shuffle.partitions",
+                                          "32")))
+    pref = pref.repartition(verify_parts, "sid")
+
+    # candidate join with BOTH prunes inside the join (PPJoin-style):
     #  - length-ratio: J ≥ t requires t·|B| ≤ |A| ≤ |B|/t;
     #  - positional: at a pair's FIRST shared prefix shingle (positions
     #    ra/rb in the global rarity order) the overlap is bounded by
@@ -892,13 +939,18 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     #    ⌈t/(1+t)·(na+nb)⌉ — rows failing the bound can't be a pair's
     #    first match, and every truly-similar pair survives via its
     #    first-match row (no false negatives; verification is exact)
-    l = prefix.select(F.col("doc_id").alias("a"), "shingle",
-                      F.col("rn").alias("ra"), F.col("n_sh").alias("na"))
-    r = prefix.select(F.col("doc_id").alias("b"), "shingle",
-                      F.col("rn").alias("rb"), F.col("n_sh").alias("nb"))
+    # followed by the exact Jaccard INLINE on the carried int arrays
+    # (|A∪B| = na + nb − |A∩B|, a set identity — array_union removed);
+    # only survivors reach the final pair-dedup exchange.
+    l = pref.select(F.col("doc_id").alias("a"), F.col("ids").alias("ids_a"),
+                    F.col("rn").alias("ra"), F.col("n_sh").alias("na"), "sid")
+    r = pref.select(F.col("doc_id").alias("b"), F.col("ids").alias("ids_b"),
+                    F.col("rn").alias("rb"), F.col("n_sh").alias("nb"), "sid")
     alpha = F.ceil(F.lit(t / (1 + t)) * (F.col("na") + F.col("nb")))
-    cand = (
-        l.join(r, "shingle")
+    inter = F.size(F.array_intersect("ids_a", "ids_b"))
+    jaccard = inter / (F.col("na") + F.col("nb") - inter)
+    return (
+        l.join(r, "sid")
         .filter(F.col("a") < F.col("b"))
         .filter(
             (F.col("na") >= F.ceil(F.lit(t) * F.col("nb")))
@@ -908,20 +960,10 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
             1 + F.least(F.col("na") - F.col("ra"),
                         F.col("nb") - F.col("rb")) >= alpha
         )
-        .select("a", "b")
-        .distinct()
-    )
-    sa = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
-    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
-    return (
-        cand.join(sa, "a")
-        .join(sb, "b")
         .withColumn("jaccard", F.round(jaccard, 4))
         .filter(F.col("jaccard") >= t)
         .select("a", "b", "jaccard")
+        .distinct()
     )
 
 
