@@ -223,6 +223,19 @@ def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _spread(df):
+    """Fan a narrow scan out to the session's parallelism before
+    compute-heavy per-row map work (tokenize/md5/explode).  The sf-scale
+    tables arrive as ONE parquet file = one scan split, so those map
+    stages would otherwise run 1-2 tasks wide on a 32-core session.
+    Gated on the actual scan partition count so a genuinely wide input
+    (a real-scale many-file table) never pays the extra shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def _dup_rich_docs(spark, sf_dir):
     """documents ∪ near-dup mutants (text + ' extra token', id + 100000)
     — guaranteed near-duplicate pairs for the dedup operators."""
@@ -231,7 +244,7 @@ def _dup_rich_docs(spark, sf_dir):
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" extra near dup token")).alias("text"),
     )
-    return d.unionByName(mutant)
+    return _spread(d.unionByName(mutant))
 
 
 DUP_RICH_SQL = (
@@ -793,11 +806,45 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     shingle → 16-hash signature → threshold-driven banding
     (lsh_params(t=0.7, k=16) → 4 bands of 4) → capped bucket join →
     ordered distinct pairs.  Buckets larger than LSH_MAX_BUCKET are
-    dropped before the self-join (oracle applies the identical cap)."""
+    dropped before the self-join (oracle applies the identical cap).
+
+    Round 6: the signature pass dominated this query's wall time —
+    md5 + 16 rotation-concats evaluated per shingle OCCURRENCE (5.9M
+    rows at sf1.0) when the corpus has only ~29k DISTINCT shingles.
+    When the vocabulary is small enough to broadcast, compute the 16
+    rotated digests once per distinct shingle in a dictionary and
+    broadcast-attach them; the per-occurrence work collapses to 16
+    string-min comparisons.  Same signatures bit-for-bit; the huge-
+    vocabulary fallback is the old exploded-rows path."""
+    from ..functions.barrier import reliable_ckpt
     from ..functions.minhash import minhash_from_rows
 
     d = _dup_rich_docs(spark, sf_dir)
-    sig = minhash_from_rows(_shingle_rows(d), ["doc_id"], k=NUM_MINHASH)
+    rows = _shingle_rows(d)
+    dict_df = reliable_ckpt(rows.select("s").distinct())
+    if dict_df.count() <= 4_000_000:
+        rot = dict_df.withColumn("h", F.md5("s")).select(
+            "s",
+            *[
+                F.concat(
+                    F.substring("h", 2 * i + 1, 32 - 2 * i),
+                    F.substring("h", 1, 2 * i),
+                ).alias(f"r{i}")
+                for i in range(NUM_MINHASH)
+            ],
+        )
+        sig = (
+            rows.join(F.broadcast(rot), "s")
+            .groupBy("doc_id")
+            .agg(*[F.min(f"r{i}").alias(f"m{i}")
+                   for i in range(NUM_MINHASH)])
+            .select(
+                "doc_id",
+                F.array(*[f"m{i}" for i in range(NUM_MINHASH)]).alias("mh"),
+            )
+        )
+    else:
+        sig = minhash_from_rows(rows, ["doc_id"], k=NUM_MINHASH)
     n_bands = LSH_BANDS
     bands = sig.select(
         "doc_id",
@@ -1024,19 +1071,35 @@ def _simhash64_frame(df):
     """Codegen-path 64-bit SimHash: exploded token rows → 64 ±1 sum
     aggregates (map-side partial) → nibble-packed hex signature.  Same
     exploded-rows-not-HOF layout as MinHash (interpreted higher-order
-    functions measured ~25× slower)."""
+    functions measured ~25× slower).
+
+    Round 6: bit j is read from two conv()-parsed 32-bit halves of the
+    md5 hex (one shiftright + and per aggregate) instead of the old
+    per-aggregate instr+substring character probe — 64 string scans and
+    substring allocations per token row become 2 convs per row.  Bit
+    semantics are identical: hex char k+1 is the high nibble of hi32
+    for k < 8 (shift 4·(7−k)+r) and of lo32 for k ≥ 8.  Alongside the
+    hex signature, the same sums emit the signature as two packed longs
+    (sig_hi = chars 1-8, sig_lo = chars 9-16) so pair verification can
+    XOR+bit_count instead of re-parsing hex per candidate."""
     toks = df.select(
         "doc_id", F.explode(F.expr(_tokens_sql("text", False))).alias("t")
-    ).withColumn("h", F.md5("t"))
+    ).select(
+        "doc_id",
+        F.expr("cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)")
+        .alias("hi32"),
+        F.expr("cast(conv(substring(md5(t), 9, 8), 16, 10) as bigint)")
+        .alias("lo32"),
+    )
     aggs = []
     for j in range(64):
         k, r = divmod(j, 4)
-        bit = (
-            f"((shiftright(instr('0123456789abcdef',"
-            f" substring(h, {k + 1}, 1)) - 1, {r}) & 1) = 1)"
-        )
+        src, kk = ("hi32", k) if k < 8 else ("lo32", k - 8)
+        shift = 4 * (7 - kk) + r
         aggs.append(
-            F.sum(F.expr(f"case when {bit} then 1 else -1 end")).alias(f"s{j}")
+            F.sum(F.expr(
+                f"(shiftright({src}, {shift}) & 1) * 2 - 1"
+            )).alias(f"s{j}")
         )
     sums = toks.groupBy("doc_id").agg(*aggs)
 
@@ -1049,29 +1112,45 @@ def _simhash64_frame(df):
     hexpr = "concat(" + ", ".join(
         f"substring('0123456789abcdef', {nib(k)} + 1, 1)" for k in range(16)
     ) + ")"
-    return sums.select("doc_id", F.expr(hexpr).alias("simhash64"))
+    hi = "cast(" + " + ".join(
+        f"cast({nib(k)} as bigint) * {1 << (4 * (7 - k))}" for k in range(8)
+    ) + " as bigint)"
+    lo = "cast(" + " + ".join(
+        f"cast({nib(k + 8)} as bigint) * {1 << (4 * (7 - k))}"
+        for k in range(8)
+    ) + " as bigint)"
+    return sums.select(
+        "doc_id", F.expr(hexpr).alias("simhash64"),
+        F.expr(hi).alias("sig_hi"), F.expr(lo).alias("sig_lo"),
+    )
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
     """SimHash as an actual dedup operator: 64-bit signature → 4×16-bit
     bands → capped bucket join → exact Hamming ≤ 3 verification.
-    Recall within the distance bound is exact (pigeonhole over bands)."""
+    Recall within the distance bound is exact (pigeonhole over bands).
+
+    Round 6: the band rows carry the packed 64-bit signature (two
+    longs), so the exact Hamming check runs INLINE in the bucket
+    self-join as two xor+bit_counts per candidate — the 13.7M-candidate
+    stream at sf1.0 no longer pays a pair-distinct exchange plus two
+    signature-attach joins with a 16-step interpreted hex-parsing HOF;
+    only Hamming-≤3 survivors reach the final distinct."""
     base = _load(spark, sf_dir, "documents").select("doc_id", "text")
     near = base.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat("text", F.lit(" extra near dup token")).alias("text"),
     )
     exact = base.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
-    d = base.unionByName(near).unionByName(exact)
+    d = _spread(base.unionByName(near).unionByName(exact))
 
     from ..functions.barrier import reliable_ckpt
 
-    sig = _simhash64_frame(d)
-    # feeds bands AND both verification sides — compute once
-    sig = reliable_ckpt(sig)
+    # feeds all four band rows — compute once
+    sig = reliable_ckpt(_simhash64_frame(d))
 
     bands = sig.select(
-        "doc_id",
+        "doc_id", "sig_hi", "sig_lo",
         F.posexplode(
             F.expr("transform(sequence(0, 3),"
                    " b -> substring(simhash64, b * 4 + 1, 4))")
@@ -1080,27 +1159,21 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     from ..functions.minhash import cap_buckets
 
     bands = cap_buckets(bands, ["band_idx", "band"], SIMHASH_MAX_BUCKET)
-    cand = (
-        bands.select("band_idx", "band", F.col("doc_id").alias("a"))
-        .join(bands.select("band_idx", "band", F.col("doc_id").alias("b")),
-              ["band_idx", "band"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
-    sa = sig.select(F.col("doc_id").alias("a"), F.col("simhash64").alias("ha"))
-    sb = sig.select(F.col("doc_id").alias("b"), F.col("simhash64").alias("hb"))
-    ham = (
-        "aggregate(transform(sequence(1, 16), k -> "
-        "bit_count((instr('0123456789abcdef', substring(ha, k, 1)) - 1)"
-        " ^ (instr('0123456789abcdef', substring(hb, k, 1)) - 1))),"
-        " 0, (acc, x) -> acc + x)"
-    )
+    l = bands.select("band_idx", "band", F.col("doc_id").alias("a"),
+                     F.col("sig_hi").alias("ha_hi"),
+                     F.col("sig_lo").alias("ha_lo"))
+    r = bands.select("band_idx", "band", F.col("doc_id").alias("b"),
+                     F.col("sig_hi").alias("hb_hi"),
+                     F.col("sig_lo").alias("hb_lo"))
+    ham = ("cast(bit_count(ha_hi ^ hb_hi) + bit_count(ha_lo ^ hb_lo)"
+           " as int)")
     return (
-        cand.join(sa, "a").join(sb, "b")
+        l.join(r, ["band_idx", "band"])
+        .filter(F.col("a") < F.col("b"))
         .withColumn("hamming", F.expr(ham))
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
         .select("a", "b", "hamming")
+        .distinct()
     )
 
 
