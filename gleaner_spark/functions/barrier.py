@@ -16,14 +16,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def reliable_ckpt(df: DataFrame) -> DataFrame:
+def reliable_ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
     """Materialize ``df`` and truncate its lineage, reliably on clusters.
 
     ``spark.sparkContext.setCheckpointDir(path)`` (a path on durable
     shared storage) opts a deployment into reliable checkpointing; with
-    no dir set, falls back to ``localCheckpoint(eager=True)``.
+    no dir set, falls back to ``localCheckpoint``.
+
+    ``eager=False`` defers materialization to the caller's next action —
+    a loop that checkpoints then immediately counts (the CC fixpoint
+    loop) fuses barrier + count into ONE job that way instead of two.
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

@@ -253,7 +253,10 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    e = _ckpt(e)
+    # lazy barrier + count = ONE job (the count materializes the
+    # checkpoint); an eager barrier here ran a second, redundant job per
+    # block — measured ~⅓ of CC wall time at the 100k-doc corpus
+    e = _ckpt(e, eager=False)
     n_e = e.count()
 
     def one_round(cur: DataFrame) -> DataFrame:
@@ -302,7 +305,7 @@ def connected_components(
         for _k in range(ckpt_every):
             new_e = one_round(new_e)
             rounds += 1
-        new_e = _ckpt(new_e)
+        new_e = _ckpt(new_e, eager=False)
         n_ckpts += 1
         n_new = new_e.count()
         if n_new == n_e:

@@ -805,10 +805,16 @@ def shape_validation_report(
     """
     if not shapes:
         raise ValueError("no NodeShape with a sh:targetClass in shapes input")
+    # Each violation family needs per-frame dedup, but a .distinct() per
+    # frame is one exchange per frame (~10 tiny shuffles at the 9-family
+    # report corpus).  Tag every frame with its ordinal instead and run
+    # ONE distinct over the union on (ordinal + columns) — exactly the
+    # per-frame-distinct multiset (cross-frame duplicates are preserved,
+    # as before), one exchange total.
     frames: list[DataFrame] = []
     batched = _value_level_report_batched(triples, shapes)
     if batched is not None:
-        frames.append(batched)
+        frames.append(batched.withColumn("_vio_src", F.lit(len(frames))))
 
     def _vio(df: DataFrame, shape: NodeShape, path: str, comp: str) -> None:
         frames.append(df.select(
@@ -817,7 +823,7 @@ def shape_validation_report(
             F.lit(path).alias("result_path"),
             F.lit(f"{SH}{comp}ConstraintComponent").alias(
                 "constraint_component"),
-        ).distinct())
+        ).withColumn("_vio_src", F.lit(len(frames))))
 
     join_subplans = 0
     for shape in shapes:
@@ -903,4 +909,4 @@ def shape_validation_report(
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
-    return out
+    return out.distinct().drop("_vio_src")

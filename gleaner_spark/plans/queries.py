@@ -1387,17 +1387,34 @@ def q_ann_lsh_bucketed(spark, sf_dir):
 
     e = _load(spark, sf_dir, "embeddings")
     bits = _sign_lsh_bits(e.count())
-    eb = e.select("vec_id", "embedding",
-                  _sign_bucket_expr(bits).alias("bucket"))
+    # per-vector norm computed ONCE here instead of twice per pair
+    # inside the cosine (the interpreted-HOF aggregate was 2/3 of the
+    # old per-pair cost); sqrt(Σx²) is float-identical to the value the
+    # fused cosine expression computed, so round(dot/(na·nb), 6) is
+    # unchanged bit-for-bit
+    nrm = ("sqrt(aggregate(embedding, cast(0.0 as double),"
+           " (acc, v) -> acc + cast(v as double) * cast(v as double)))")
+    eb = _spread(e).select("vec_id", "embedding",
+                           _sign_bucket_expr(bits).alias("bucket"),
+                           F.expr(nrm).alias("nrm"))
     eb = cap_buckets(eb, ["bucket"], SIGN_LSH_MAX_BUCKET)
+    # pin the self-join width: the pair-scoring stage is compute-bound
+    # (interpreted HOF dot per pair) and AQE's byte-based coalescing
+    # would run it a handful of tasks wide
+    eb = eb.repartition(
+        2 * spark.sparkContext.defaultParallelism, "bucket")
     l = eb.select("bucket", F.col("vec_id").alias("a"),
-                  F.col("embedding").alias("ea"))
+                  F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
     r = eb.select("bucket", F.col("vec_id").alias("b"),
-                  F.col("embedding").alias("eb"))
+                  F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
+    dot = ("aggregate(zip_with(ea, eb,"
+           " (x, y) -> cast(x as double) * cast(y as double)),"
+           " cast(0.0 as double), (acc, v) -> acc + v)")
     pairs = (
         l.join(r, "bucket")
         .filter(F.col("a") < F.col("b"))
-        .withColumn("cos_sim", F.round(F.expr(_cosine_expr("ea", "eb")), 6))
+        .withColumn("cos_sim",
+                    F.round(F.expr(dot) / (F.col("na") * F.col("nb")), 6))
         .select("bucket", "a", "b", "cos_sim")
     )
     from pyspark.sql import Window
