@@ -820,7 +820,9 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     from ..functions.minhash import minhash_from_rows
 
     d = _dup_rich_docs(spark, sf_dir)
-    rows = _shingle_rows(d)
+    # barrier: the dictionary pass and the signature pass both read the
+    # shingle rows, and tokenization is the expensive part — pay it once
+    rows = reliable_ckpt(_shingle_rows(d))
     dict_df = reliable_ckpt(rows.select("s").distinct())
     if dict_df.count() <= 4_000_000:
         rot = dict_df.withColumn("h", F.md5("s")).select(
@@ -1114,6 +1116,15 @@ def _simhash64_frame(df):
     hex signature, the same sums emit the signature as two packed longs
     (sig_hi = chars 1-8, sig_lo = chars 9-16) so pair verification can
     XOR+bit_count instead of re-parsing hex per candidate."""
+    return _simhash64_pack(_simhash64_sums(df))
+
+
+def _simhash64_sums(df):
+    """Per-doc ±1 bit sums (doc_id, s0..s63, has_empty) — the linear
+    stage of SimHash.  ``has_empty`` = 1 iff the normalized text is
+    empty (split('') yields exactly the one token '', and '' can occur
+    as a token ONLY in that case) — carried so callers can do exact
+    suffix algebra on the sums (see q_dedup_simhash_pairs)."""
     toks = df.select(
         "doc_id", F.explode(F.expr(_tokens_sql("text", False))).alias("t")
     ).select(
@@ -1122,6 +1133,7 @@ def _simhash64_frame(df):
         .alias("hi32"),
         F.expr("cast(conv(substring(md5(t), 9, 8), 16, 10) as bigint)")
         .alias("lo32"),
+        (F.col("t") == "").cast("int").alias("emp"),
     )
     aggs = []
     for j in range(64):
@@ -1133,8 +1145,12 @@ def _simhash64_frame(df):
                 f"(shiftright({src}, {shift}) & 1) * 2 - 1"
             )).alias(f"s{j}")
         )
-    sums = toks.groupBy("doc_id").agg(*aggs)
+    aggs.append(F.max("emp").alias("has_empty"))
+    return toks.groupBy("doc_id").agg(*aggs)
 
+
+def _simhash64_pack(sums):
+    """(doc_id, s0..s63) → (doc_id, simhash64 hex, sig_hi, sig_lo)."""
     def nib(k: int) -> str:
         return "(" + " + ".join(
             f"(case when s{4 * k + r} > 0 then {1 << r} else 0 end)"
@@ -1169,17 +1185,53 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     signature-attach joins with a 16-step interpreted hex-parsing HOF;
     only Hamming-≤3 survivors reach the final distinct."""
     base = _load(spark, sf_dir, "documents").select("doc_id", "text")
-    near = base.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat("text", F.lit(" extra near dup token")).alias("text"),
-    )
-    exact = base.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
-    d = _spread(base.unionByName(near).unionByName(exact))
 
     from ..functions.barrier import reliable_ckpt
 
+    # The mutant corpus is ALGEBRAICALLY redundant: the 'exact' copy has
+    # identical token sums, and the 'near' copy's tokens are the base's
+    # plus the four constant suffix tokens (the normalized concat always
+    # appends exactly them — except when the base normalizes to empty,
+    # where the base's single '' token disappears; has_empty carries
+    # that correction).  So tokenize + 64-way-aggregate the BASE ONCE
+    # (⅓ of the rows) and derive the other two signatures by constant
+    # vector arithmetic on the sums — bit-identical to summing the
+    # mutants' own tokens.
+    import hashlib
+
+    def _pm1(token: str) -> list[int]:
+        h = hashlib.md5(token.encode()).hexdigest()
+        hi, lo = int(h[:8], 16), int(h[8:16], 16)
+        out = []
+        for j in range(64):
+            k, r = divmod(j, 4)
+            v, kk = (hi, k) if k < 8 else (lo, k - 8)
+            out.append(2 * ((v >> (4 * (7 - kk) + r)) & 1) - 1)
+        return out
+
+    suffix_c = [0] * 64
+    for tok in ("extra", "near", "dup", "token"):
+        v = _pm1(tok)
+        suffix_c = [a + b for a, b in zip(suffix_c, v)]
+    empty_c = _pm1("")
+
+    # barrier: three derived frames read the sums — compute them once
+    sums = reliable_ckpt(_simhash64_sums(_spread(base)))
+    s_cols = [f"s{j}" for j in range(64)]
+    base_s = sums.select("doc_id", *s_cols)
+    near_s = sums.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        *[
+            (F.col(f"s{j}") + F.lit(suffix_c[j])
+             - F.col("has_empty") * F.lit(empty_c[j])).alias(f"s{j}")
+            for j in range(64)
+        ],
+    )
+    exact_s = sums.select((F.col("doc_id") + 200000).alias("doc_id"),
+                          *s_cols)
     # feeds all four band rows — compute once
-    sig = reliable_ckpt(_simhash64_frame(d))
+    sig = reliable_ckpt(_simhash64_pack(
+        base_s.unionByName(near_s).unionByName(exact_s)))
 
     bands = sig.select(
         "doc_id", "sig_hi", "sig_lo",
