@@ -920,12 +920,14 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     raw = reliable_ckpt(_shingle_rows(d))
 
     # global rarity dictionary: shingle → sid, with sid ORDER-CONSISTENT
-    # with the (df, s) rarity order.  df counts DISTINCT docs per
-    # shingle.  Only the ORDER of sids matters downstream (prefix
-    # selection + set intersection), so the ids themselves never reach
-    # the output.
+    # with the (df, s) rarity order.  df here counts shingle OCCURRENCES
+    # (cheaper than per-doc distinct, and within-doc duplicate shingles
+    # are rare): the prefix theorem holds for ANY fixed total order —
+    # the order only steers candidate volume, never the verified result
+    # — so the occurrence count is as sound as the document frequency
+    # and nearly as selective.
     dict_df = reliable_ckpt(
-        raw.groupBy("s").agg(F.count_distinct("doc_id").alias("df"))
+        raw.groupBy("s").agg(F.count("*").alias("df"))
     )
     n_dict = dict_df.count()
     if n_dict <= 4_000_000:
@@ -987,8 +989,12 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
             - sum(F.bit_count(F.col(f"bm{k}")) for k in range(4)),
         )
     )
+    # prefix rows are NARROW (no ids array): the candidate join decides
+    # membership from counts, positions and bitmaps alone, and the exact
+    # arrays are attached only to the ~65k distinct surviving pairs —
+    # the 79M matched rows never carry (or copy) an array
     plen = "cast(n_sh - ceil(0.5 * n_sh) + 1 as int)"
-    carry = ["doc_id", "ids", "n_sh", "coll"] + [f"bm{k}" for k in range(4)]
+    carry = ["doc_id", "n_sh", "coll"] + [f"bm{k}" for k in range(4)]
     pref = docs.select(
         *carry,
         F.posexplode(F.expr(f"slice(ids, 1, {plen})")).alias("p", "sid"),
@@ -1014,11 +1020,11 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     # followed by the exact Jaccard INLINE on the carried int arrays
     # (|A∪B| = na + nb − |A∩B|, a set identity — array_union removed);
     # only survivors reach the final pair-dedup exchange.
-    l = pref.select(F.col("doc_id").alias("a"), F.col("ids").alias("ids_a"),
+    l = pref.select(F.col("doc_id").alias("a"),
                     F.col("rn").alias("ra"), F.col("n_sh").alias("na"),
                     F.col("coll").alias("ca"), "sid",
                     *[F.col(f"bm{k}").alias(f"xa{k}") for k in range(4)])
-    r = pref.select(F.col("doc_id").alias("b"), F.col("ids").alias("ids_b"),
+    r = pref.select(F.col("doc_id").alias("b"),
                     F.col("rn").alias("rb"), F.col("n_sh").alias("nb"),
                     F.col("coll").alias("cb"), "sid",
                     *[F.col(f"bm{k}").alias(f"xb{k}") for k in range(4)])
@@ -1027,9 +1033,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         F.bit_count(F.col(f"xa{k}").bitwiseAND(F.col(f"xb{k}")))
         for k in range(4)
     ) + F.least(F.col("ca"), F.col("cb"))
-    inter = F.size(F.array_intersect("ids_a", "ids_b"))
-    jaccard = inter / (F.col("na") + F.col("nb") - inter)
-    return (
+    cand = (
         l.join(r, "sid")
         .filter(F.col("a") < F.col("b"))
         .filter(
@@ -1041,10 +1045,21 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
                         F.col("nb") - F.col("rb")) >= alpha
         )
         .filter(ub >= alpha)
+        .select("a", "b")
+        .distinct()
+    )
+    sa = docs.select(F.col("doc_id").alias("a"), F.col("ids").alias("ids_a"),
+                     F.col("n_sh").alias("na"))
+    sb = docs.select(F.col("doc_id").alias("b"), F.col("ids").alias("ids_b"),
+                     F.col("n_sh").alias("nb"))
+    inter = F.size(F.array_intersect("ids_a", "ids_b"))
+    jaccard = inter / (F.col("na") + F.col("nb") - inter)
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
         .withColumn("jaccard", F.round(jaccard, 4))
         .filter(F.col("jaccard") >= t)
         .select("a", "b", "jaccard")
-        .distinct()
     )
 
 
