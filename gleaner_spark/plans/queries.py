@@ -824,7 +824,42 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     # shingle rows, and tokenization is the expensive part — pay it once
     rows = reliable_ckpt(_shingle_rows(d))
     dict_df = reliable_ckpt(rows.select("s").distinct())
-    if dict_df.count() <= 4_000_000:
+    n_dict = dict_df.count()
+    if n_dict <= 1_000_000:
+        # The band buckets downstream only test EQUALITY of signature
+        # values — the hex strings themselves never reach the output.
+        # Rank-encode each rotation on the (tiny, provably ≤1M) distinct
+        # shingle dictionary: id_i(s) = ordinal of rot_i(md5(s)) with
+        # np.unique, so equal rotation strings get equal ids (md5 ties
+        # included) and min-of-ranks ≡ min-of-strings under the same
+        # order.  The per-occurrence work becomes 16 int mins and the
+        # band keys become int tuples — no per-row md5, rotation concats
+        # or string compares.
+        import hashlib
+
+        import numpy as np
+
+        pdf = dict_df.toPandas()
+        hexes = [hashlib.md5(s.encode("utf-8")).hexdigest()
+                 for s in pdf["s"]]
+        for i in range(NUM_MINHASH):
+            rot = np.array([h[2 * i:] + h[:2 * i] for h in hexes])
+            _, inv = np.unique(rot, return_inverse=True)
+            pdf[f"k{i}"] = inv.astype(np.int32)
+        ranks = spark.createDataFrame(pdf)
+        sig = (
+            rows.join(F.broadcast(ranks), "s")
+            .groupBy("doc_id")
+            .agg(*[F.min(f"k{i}").alias(f"m{i}")
+                   for i in range(NUM_MINHASH)])
+            .select(
+                "doc_id",
+                F.array(*[f"m{i}" for i in range(NUM_MINHASH)]).alias("mh"),
+            )
+        )
+    elif n_dict <= 4_000_000:
+        # vocabulary too big to collect but fine to broadcast: rotations
+        # precomputed once per distinct shingle, string min-agg
         rot = dict_df.withColumn("h", F.md5("s")).select(
             "s",
             *[
