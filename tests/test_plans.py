@@ -338,3 +338,200 @@ def test_sameas_rewrite_join_strategy_gate(spark):
     assert "SortMergeJoin" in _plan(smj), _plan(smj)
     bhj = canonicalize_triples(triples, sameas, broadcast_map=True)
     assert _plan(bhj).count("BroadcastHashJoin") >= 2
+
+
+# ---------------------------------------------------------------------------
+# round-6 optimization-internals tests: the rewritten dedup operators must
+# stay bit-identical to first-principles references on corpora the fixed
+# sf tables don't cover (random texts, empty/whitespace docs, md5 ties)
+# ---------------------------------------------------------------------------
+
+
+def _mk_docs_dir(spark, tmp_path, rows):
+    """Write (doc_id, text, source, lang, n_chars) docs to a temp sf dir."""
+    import os
+
+    d = spark.createDataFrame(
+        [(i, t, "s0", "en", len(t)) for i, t in rows],
+        "doc_id int, text string, source string, lang string, n_chars int",
+    )
+    sf = str(tmp_path / "sfrand")
+    os.makedirs(sf, exist_ok=True)
+    d.coalesce(2).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+def _random_texts(n, seed, vocab=40, lo=8, hi=40):
+    import random
+
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    out = []
+    for i in range(n):
+        out.append((i, " ".join(
+            rng.choice(words) for _ in range(rng.randint(lo, hi)))))
+    return out
+
+
+def test_ngram_jaccard_matches_bruteforce_on_random_corpus(spark, tmp_path):
+    """The round-6 plan (int dictionary + narrow prefix join + bitmap
+    upper bound + survivor-only verification) must return EXACTLY the
+    brute-force all-pairs result — the bitmap bound and prefix filters
+    may only prune, never drop a true pair."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = _random_texts(120, seed=7)
+    sf = _mk_docs_dir(spark, tmp_path, rows)
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in QUERIES["dedup_ngram_jaccard"][0](spark, sf).collect()
+    }
+
+    # brute force over the SAME dup-rich corpus (base + near-dup mutant)
+    def shingles(text):
+        toks = " ".join(text.lower().split()).split(" ")
+        k = max(len(toks) - 2, 1)
+        return {" ".join(toks[i:i + 3]) for i in range(k)}
+
+    docs = {i: shingles(t) for i, t in rows}
+    docs.update({
+        i + 100000: shingles(t + " extra near dup token") for i, t in rows
+    })
+    want = {}
+    ids = sorted(docs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(docs[a] & docs[b])
+            j = inter / (len(docs[a]) + len(docs[b]) - inter)
+            j4 = float(Decimal(repr(j)).quantize(
+                Decimal("0.0001"), ROUND_HALF_UP))
+            if j4 >= 0.5:
+                want[(a, b)] = j4
+    assert got == want
+
+
+def test_ngram_bitmap_bound_soundness_property():
+    """Pure-python mirror of the query's 256-bucket bitmap bound:
+    popcount(bmA & bmB) + min(collA, collB) ≥ |A∩B| for random int
+    sets — the algebraic guarantee the pruning filter rests on."""
+    import random
+
+    rng = random.Random(13)
+    for _ in range(500):
+        na, nb = rng.randint(1, 120), rng.randint(1, 120)
+        pool = range(rng.randint(150, 5000))
+        A = set(rng.sample(pool, min(na, len(pool))))
+        B = set(rng.sample(pool, min(nb, len(pool))))
+
+        def bm(S):
+            m = [0, 0, 0, 0]
+            for s in S:
+                b = s % 256
+                m[b // 64] |= 1 << (b % 64)
+            return m
+
+        ma, mb = bm(A), bm(B)
+        pop = sum(bin(x & y).count("1") for x, y in zip(ma, mb))
+        coll_a = len(A) - sum(bin(x).count("1") for x in ma)
+        coll_b = len(B) - sum(bin(x).count("1") for x in mb)
+        assert pop + min(coll_a, coll_b) >= len(A & B)
+
+
+def test_simhash_pairs_algebra_handles_empty_and_whitespace(spark, tmp_path):
+    """The suffix-algebra signature derivation (base sums + constant
+    vector, minus the empty-norm correction) must equal signatures
+    computed directly from the mutated texts — including the edge class
+    where the base text normalizes to empty and its '' token vanishes
+    after the concat."""
+    from pyspark.sql import functions as F
+
+    from gleaner_spark.plans.queries import _simhash64_frame
+
+    rows = _random_texts(30, seed=11) + [
+        (900, ""), (901, "   "), (902, "\t\n "), (903, "one"),
+    ]
+    sf = _mk_docs_dir(spark, tmp_path, rows)
+
+    base = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text")
+    near = base.select((F.col("doc_id") + 100000).alias("doc_id"),
+                       F.concat("text", F.lit(" extra near dup token"))
+                       .alias("text"))
+    exact = base.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    direct = {
+        r.doc_id: (r.simhash64, r.sig_hi, r.sig_lo)
+        for r in _simhash64_frame(
+            base.unionByName(near).unionByName(exact)).collect()
+    }
+
+    # the production path (algebraic derivation) inside the query: check
+    # via its observable output instead of re-deriving here — both the
+    # signature frame and the query's pair set must agree with direct
+    got_pairs = {
+        (r.a, r.b, r.hamming)
+        for r in QUERIES["dedup_simhash_pairs"][0](spark, sf).collect()
+    }
+    # reference pairs from the directly-computed signatures
+    from gleaner_spark.plans.queries import (
+        SIMHASH_HAMMING_MAX, SIMHASH_MAX_BUCKET,
+    )
+    bands = {}
+    for doc, (hx, hi, lo) in direct.items():
+        for bidx in range(4):
+            bands.setdefault((bidx, hx[bidx * 4:bidx * 4 + 4]), []).append(doc)
+    want = set()
+    for (bidx, key), members in bands.items():
+        if len(members) > SIMHASH_MAX_BUCKET:
+            continue
+        for i in range(len(members)):
+            for k in range(i + 1, len(members)):
+                a, b = sorted((members[i], members[k]))
+                ha, hb = direct[a], direct[b]
+                ham = (bin((ha[1] ^ hb[1])).count("1")
+                       + bin((ha[2] ^ hb[2])).count("1"))
+                if ham <= SIMHASH_HAMMING_MAX:
+                    want.add((a, b, ham))
+    assert got_pairs == want
+
+
+def test_minhash_lsh_rank_path_matches_python_reference(spark, tmp_path):
+    """The int-rank signature encoding must produce the exact pair set
+    of the md5-string reference (core.text.md5_minhash_signature +
+    identical banding and bucket cap) on a random corpus."""
+    from gleaner_spark.core.text import md5_minhash_signature
+    from gleaner_spark.plans.queries import (
+        LSH_BAND, LSH_BANDS, LSH_MAX_BUCKET, NUM_MINHASH,
+    )
+
+    rows = _random_texts(80, seed=23)
+    sf = _mk_docs_dir(spark, tmp_path, rows)
+    got = {
+        (r.a, r.b)
+        for r in QUERIES["dedup_minhash_lsh"][0](spark, sf).collect()
+    }
+
+    def shingle_list(text):
+        toks = " ".join(text.lower().split()).split(" ")
+        k = max(len(toks) - 2, 1)
+        return sorted({" ".join(toks[i:i + 3]) for i in range(k)})
+
+    docs = {i: shingle_list(t) for i, t in rows}
+    docs.update({
+        i + 100000: shingle_list(t + " extra near dup token")
+        for i, t in rows
+    })
+    buckets = {}
+    for doc, sh in sorted(docs.items()):
+        sig = md5_minhash_signature(sh, NUM_MINHASH)
+        for b in range(LSH_BANDS):
+            key = (b, "|".join(sig[b * LSH_BAND:(b + 1) * LSH_BAND]))
+            buckets.setdefault(key, []).append(doc)
+    want = set()
+    for members in buckets.values():
+        if len(members) > LSH_MAX_BUCKET:
+            continue
+        for i in range(len(members)):
+            for k in range(i + 1, len(members)):
+                want.add(tuple(sorted((members[i], members[k]))))
+    assert got == want
