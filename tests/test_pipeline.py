@@ -314,7 +314,8 @@ def test_connected_components_long_chain(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(79)], "a long, b long"
     )
-    comp = {r.entity: r.component for r in connected_components(edges).collect()}
+    comp = {r.entity: r.component
+            for r in connected_components(edges, local_max_edges=0).collect()}
     assert len(comp) == 80
     assert set(comp.values()) == {0}
 
@@ -325,7 +326,7 @@ def test_connected_components_raises_on_iteration_cap(spark):
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError, match="no fixpoint"):
-        connected_components(edges, max_iterations=1)
+        connected_components(edges, max_iterations=1, local_max_edges=0)
 
 
 def test_entity_linking_gold_clusters(spark):
@@ -665,7 +666,8 @@ def test_cc_ckpt_every_k_identical_labels(spark):
                                   + [(999,)], "entity long")
     base = None
     for k in (1, 2, 3):
-        out = connected_components(edges, vertices=verts, ckpt_every=k)
+        out = connected_components(edges, vertices=verts, ckpt_every=k,
+                                   local_max_edges=0)
         got = sorted((r.entity, r.component) for r in out.collect())
         obs = out._cc_observation
         assert obs["ckpt_every"] == k and obs["checkpoints"] >= 1
@@ -678,3 +680,23 @@ def test_cc_ckpt_every_k_identical_labels(spark):
             assert comp[208] == 200 and comp[999] == 999
         else:
             assert got == base
+
+
+def test_cc_local_fast_path_matches_distributed(spark):
+    """The size-gated driver-local union-find must return EXACTLY the
+    distributed large-star/small-star labels on a random graph (and
+    report itself in the observation)."""
+    import random
+
+    from gleaner_spark.operators.link import connected_components
+
+    rng = random.Random(41)
+    rows = [(rng.randint(0, 300), rng.randint(0, 300)) for _ in range(400)]
+    edges = spark.createDataFrame(rows, "a long, b long")
+    local = connected_components(edges)
+    dist = connected_components(edges, local_max_edges=0)
+    got_l = sorted((r.entity, r.component) for r in local.collect())
+    got_d = sorted((r.entity, r.component) for r in dist.collect())
+    assert got_l == got_d
+    assert local._cc_observation.get("local_solve_edges", 0) > 0
+    assert dist._cc_observation["rounds"] > 0
