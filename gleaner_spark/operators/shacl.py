@@ -30,6 +30,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.barrier import reliable_ckpt
+
 logger = logging.getLogger(__name__)
 
 SH = "http://www.w3.org/ns/shacl#"
@@ -839,7 +841,14 @@ def shape_validation_report(
             .select("subject")
             .distinct()
         )
-        base = triples.join(targets, "subject", "left_semi")
+        # every join constraint of this shape re-reads base (and the
+        # final union re-optimizes each occurrence): materialize the
+        # semi-join ONCE per shape so the ~len(join_cs) frames become
+        # shallow filters over a barrier instead of repeated join
+        # subtrees — at config scale this halves catalyst time per
+        # action; at data scale it avoids recomputing the target
+        # semi-join per constraint.
+        base = reliable_ckpt(triples.join(targets, "subject", "left_semi"))
         for c in join_cs:
             on_path = base.filter(F.col("predicate") == f"<{c.path}>")
             if c.or_alternatives:

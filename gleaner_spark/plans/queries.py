@@ -817,7 +817,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     string-min comparisons.  Same signatures bit-for-bit; the huge-
     vocabulary fallback is the old exploded-rows path."""
     from ..functions.barrier import reliable_ckpt
-    from ..functions.minhash import minhash_from_rows
+    from ..functions.minhash import cap_buckets, minhash_from_rows
 
     d = _dup_rich_docs(spark, sf_dir)
     # barrier: the dictionary pass and the signature pass both read the
@@ -847,15 +847,43 @@ def q_dedup_minhash_lsh(spark, sf_dir):
             _, inv = np.unique(rot, return_inverse=True)
             pdf[f"k{i}"] = inv.astype(np.int32)
         ranks = spark.createDataFrame(pdf)
-        sig = (
+        # Barrier the tiny (100k × 16-int) signature table: the band
+        # self-join below reads its input THREE times (bucket counts +
+        # both join sides) and the planner reuses none of the exchanges
+        # (26 Exchanges, 0 Reused measured) — without the barrier the
+        # whole shingle-scan→join→agg subtree re-executes per read.
+        sig_ints = reliable_ckpt(
             rows.join(F.broadcast(ranks), "s")
             .groupBy("doc_id")
             .agg(*[F.min(f"k{i}").alias(f"m{i}")
                    for i in range(NUM_MINHASH)])
-            .select(
-                "doc_id",
-                F.array(*[f"m{i}" for i in range(NUM_MINHASH)]).alias("mh"),
+        )
+        # Band keys as two exact-packed longs per band (rank < 2^31 so
+        # hi*2^32 + lo is bijective — bucket equality, membership and
+        # the cap are IDENTICAL to the string formulation, with int
+        # comparisons instead of 16-char concat_ws strings).
+        pack = [
+            F.struct(
+                F.lit(b).alias("bi"),
+                (F.col(f"m{LSH_BAND * b}").cast("long") * 4294967296
+                 + F.col(f"m{LSH_BAND * b + 1}")).alias("p0"),
+                (F.col(f"m{LSH_BAND * b + 2}").cast("long") * 4294967296
+                 + F.col(f"m{LSH_BAND * b + 3}")).alias("p1"),
             )
+            for b in range(LSH_BANDS)
+        ]
+        bands = sig_ints.select(
+            "doc_id", F.explode(F.array(*pack)).alias("bk")
+        ).select("doc_id", "bk.bi", "bk.p0", "bk.p1")
+        keys = ["bi", "p0", "p1"]
+        bands = cap_buckets(bands, keys, LSH_MAX_BUCKET)
+        l = bands.select(*keys, F.col("doc_id").alias("a"))
+        r = bands.select(*keys, F.col("doc_id").alias("b"))
+        return (
+            l.join(r, keys)
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
         )
     elif n_dict <= 4_000_000:
         # vocabulary too big to collect but fine to broadcast: rotations
@@ -892,8 +920,6 @@ def q_dedup_minhash_lsh(spark, sf_dir):
             )
         ).alias("band_idx", "band_key"),
     ).withColumn("bucket", F.concat_ws("#", "band_idx", "band_key"))
-    from ..functions.minhash import cap_buckets
-
     bands = cap_buckets(bands, ["bucket"], LSH_MAX_BUCKET)
     l = bands.select("bucket", F.col("doc_id").alias("a"))
     r = bands.select("bucket", F.col("doc_id").alias("b"))
@@ -1199,6 +1225,29 @@ def _simhash64_sums(df):
     return toks.groupBy("doc_id").agg(*aggs)
 
 
+def _simhash64_pack_ints(sums):
+    """(doc_id, s0..s63) → (doc_id, sig_hi, sig_lo) — the packed-longs
+    half of :func:`_simhash64_pack`, for callers that never need the
+    hex signature (q_dedup_simhash_pairs): skips 16 nibble-case
+    substring lookups and a 16-way concat per doc."""
+    def nib(k: int) -> str:
+        return "(" + " + ".join(
+            f"(case when s{4 * k + r} > 0 then {1 << r} else 0 end)"
+            for r in range(4)
+        ) + ")"
+
+    hi = "cast(" + " + ".join(
+        f"cast({nib(k)} as bigint) * {1 << (4 * (7 - k))}" for k in range(8)
+    ) + " as bigint)"
+    lo = "cast(" + " + ".join(
+        f"cast({nib(k + 8)} as bigint) * {1 << (4 * (7 - k))}"
+        for k in range(8)
+    ) + " as bigint)"
+    return sums.select(
+        "doc_id", F.expr(hi).alias("sig_hi"), F.expr(lo).alias("sig_lo"),
+    )
+
+
 def _simhash64_pack(sums):
     """(doc_id, s0..s63) → (doc_id, simhash64 hex, sig_hi, sig_lo)."""
     def nib(k: int) -> str:
@@ -1279,16 +1328,24 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     )
     exact_s = sums.select((F.col("doc_id") + 200000).alias("doc_id"),
                           *s_cols)
-    # feeds all four band rows — compute once
-    sig = reliable_ckpt(_simhash64_pack(
+    # feeds all four band rows — compute once.  Only the packed longs:
+    # the hex signature never leaves this query, and the four 16-bit
+    # bands are exact int slices of the longs (band b of the hex == bits
+    # 63−16b..48−16b — the hex-substring ↔ int-slice map is bijective,
+    # so buckets, caps and membership are IDENTICAL, with int band keys
+    # instead of 4-char strings).
+    sig = reliable_ckpt(_simhash64_pack_ints(
         base_s.unionByName(near_s).unionByName(exact_s)))
 
+    band_slices = F.array(
+        F.expr("shiftright(sig_hi, 16)"),
+        F.expr("sig_hi & 65535"),
+        F.expr("shiftright(sig_lo, 16)"),
+        F.expr("sig_lo & 65535"),
+    )
     bands = sig.select(
         "doc_id", "sig_hi", "sig_lo",
-        F.posexplode(
-            F.expr("transform(sequence(0, 3),"
-                   " b -> substring(simhash64, b * 4 + 1, 4))")
-        ).alias("band_idx", "band"),
+        F.posexplode(band_slices).alias("band_idx", "band"),
     )
     from ..functions.minhash import cap_buckets
 
@@ -2722,9 +2779,18 @@ def q_kg_shape_report(spark, sf_dir):
          for r in mill(KG_REPORT_SHAPES_JSONLD, "shapes", "")]
     )
     shapes = [s for s in idx.values() if s.target_class]
-    d = _load(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < KG_DOC_LIMIT
-    ).select("doc_id")
+    from ..functions.barrier import reliable_ckpt
+
+    # barrier the 200-row doc-id list in ONE partition: the corpus below
+    # unions 12 legs over it and the report reads the corpus in ~20
+    # frames — without this, every leg re-scans the parquet and every
+    # frame schedules a task per (leg × scan-split) near-empty partition
+    # (~1000 sub-ms tasks of scheduling overhead for 2.2k rows).
+    d = reliable_ckpt(
+        _load(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < KG_DOC_LIMIT
+        ).select("doc_id").coalesce(1)
+    )
     did = F.col("doc_id").cast("string")
     s = F.concat(F.lit("<https://example.org/e/"), did, F.lit(">"))
     person = F.concat(F.lit("<https://example.org/p/"), did, F.lit(">"))
@@ -2783,11 +2849,10 @@ def q_kg_shape_report(spark, sf_dir):
                    F.concat(F.lit('"fund:x'), did, F.lit('"')))
             .otherwise(person)))
     )
-    from ..functions.barrier import reliable_ckpt
-
     # the report evaluates one frame per (shape, constraint) — barrier
-    # the 9-way-unioned corpus so it computes once, not per frame
-    triples = reliable_ckpt(triples)
+    # the 9-way-unioned corpus so it computes once, not per frame, and
+    # as ONE partition (2.2k rows) so each frame is one task
+    triples = reliable_ckpt(triples.coalesce(1))
     return shape_validation_report(triples, shapes, idx).select(
         "focus_node", "result_path", "constraint_component"
     )
