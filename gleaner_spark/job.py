@@ -109,14 +109,20 @@ def _cmd_check(args) -> int:
 
     spark, owned = _session("gleaner-check", args.cores)
     try:
-        pages = spark.read.parquet(args.pages)
-        sources = (spark.read.parquet(args.sources) if args.sources
-                   else gen_sources_spark(spark))
         try:
+            pages = spark.read.parquet(args.pages)
+            sources = (spark.read.parquet(args.sources) if args.sources
+                       else gen_sources_spark(spark))
             preflight_checks(pages, sources, args.out)
         except PreflightError as e:
             print(f"Failed check: {e}", file=sys.stderr)
             return 66  # the reference's os.Exit(66) contract, check.go:50
+        except Exception as e:  # noqa: BLE001 — check.go exits 66 on ANY
+            # check failure, including unreadable inputs (config read
+            # errors in the reference); an AnalysisException traceback
+            # is not that contract
+            print(f"Failed check: {e}", file=sys.stderr)
+            return 66
         print("Check successful")
         return 0
     finally:
@@ -200,7 +206,21 @@ def prune_triples(spark, out_dir: str, bucket: str = "gleaner"):
     return kept, expected
 
 
+def _recover_prune_swap(out: str) -> None:
+    """Crash recovery for the prune swap below: the two os.replace
+    calls have a window where ``triples`` is missing and the data sits
+    at ``triples.pruned-old`` — restore it before doing anything else
+    so a crashed prune never strands the table."""
+    final = os.path.join(out, "triples")
+    old = os.path.join(out, "triples.pruned-old")
+    if not os.path.exists(final) and os.path.exists(old):
+        os.replace(old, final)
+        print("recovered triples table from interrupted prune",
+              file=sys.stderr)
+
+
 def _cmd_prune(args) -> int:
+    _recover_prune_swap(args.out)
     spark, owned = _session("gleaner-prune", args.cores)
     try:
         kept, _ = prune_triples(spark, args.out, args.bucket)
@@ -213,7 +233,11 @@ def _cmd_prune(args) -> int:
             import shutil
             shutil.rmtree(tmp, ignore_errors=True)
         else:
-            # swap via rename so a reader never sees a half-written table
+            # swap via two renames: a reader never sees a HALF-WRITTEN
+            # table, but there IS a crash window between the renames
+            # where `triples` is briefly absent — _recover_prune_swap
+            # (run at prune startup) restores `triples.pruned-old` if a
+            # crash lands in it
             import shutil
             final = os.path.join(args.out, "triples")
             old = os.path.join(args.out, "triples.pruned-old")
@@ -293,7 +317,10 @@ def _add_doc_flags(p) -> None:
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     # back-compat: `job.py --pages ... --out ...` (no subcommand) == run
-    if not argv or argv[0].startswith("-"):
+    # (-h/--help exempt so top-level help shows the subcommands instead
+    # of run's help)
+    if not argv or (argv[0].startswith("-")
+                    and argv[0] not in ("-h", "--help")):
         argv.insert(0, "run")
 
     p = argparse.ArgumentParser(prog="gleaner_spark.job")
@@ -328,14 +355,22 @@ def main(argv: list[str] | None = None) -> int:
                       help="context fix option (https|http|standardize…)")
     rdfp.set_defaults(fn=_cmd_rdf)
 
-    chk = sub.add_parser("check", help="preflight only, execute nothing")
+    chk = sub.add_parser(
+        "check",
+        help="preflight only, execute nothing (parquet warehouses; "
+             "Iceberg-catalog warehouses are validated by the pipeline "
+             "itself)")
     chk.add_argument("--pages", required=True)
     chk.add_argument("--sources", default=None)
     chk.add_argument("--out", required=True)
     chk.add_argument("--cores", default=None)
     chk.set_defaults(fn=_cmd_check)
 
-    shw = sub.add_parser("show", help="inspect stored docs")
+    shw = sub.add_parser(
+        "show",
+        help="inspect stored docs (parquet warehouses only — an "
+             "Iceberg-catalog warehouse stores tables in the catalog, "
+             "not under --out)")
     shw.add_argument("--out", required=True)
     shw.add_argument("--sha", default=None,
                      help="doc_sha1 or norm_sha256 prefix")
@@ -346,8 +381,10 @@ def main(argv: list[str] | None = None) -> int:
     shw.add_argument("--cores", default=None)
     shw.set_defaults(fn=_cmd_show)
 
-    prn = sub.add_parser("prune",
-                         help="drop triple graphs with no backing doc")
+    prn = sub.add_parser(
+        "prune",
+        help="drop triple graphs with no backing doc (parquet "
+             "warehouses only — see `show`)")
     prn.add_argument("--out", required=True)
     prn.add_argument("--bucket", default="gleaner")
     prn.add_argument("--dry-run", action="store_true")

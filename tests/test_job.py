@@ -146,12 +146,20 @@ def test_prune_noop_on_consistent_warehouse(spark, warehouse, capsys):
     assert rep["pruned"] == 0 and rep["dry_run"] is True
 
 
-def test_prune_drops_unbacked_graphs(spark, warehouse, capsys):
+def test_prune_drops_unbacked_graphs(spark, warehouse, capsys, tmp_path):
     """Remove some docs, prune → exactly those docs' graphs disappear;
-    org graphs survive (never doc-backed, structural by design)."""
+    org graphs survive (never doc-backed, structural by design).
+
+    Mutates a COPY of the module-scoped warehouse: deleting docs and
+    swapping the triples table in place made every other prune test
+    order-dependent (ADVICE r5)."""
+    import shutil as _sh
+
     from pyspark.sql import functions as F
 
-    out, _ = warehouse
+    src, _ = warehouse
+    out = str(tmp_path / "warehouse_copy")
+    _sh.copytree(src, out)
     docs_path = os.path.join(out, "docs")
     docs = spark.read.parquet(docs_path)
     victims = {r.norm_sha256 for r in
