@@ -997,7 +997,11 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         # Int arrays matter: ArrayIntersect over int is measurably
         # cheaper than over the sparse longs monotonically_increasing_id
         # yields, and this branch carries 79M verifications at sf1.0.
-        sid = reliable_ckpt(
+        # No barrier: the id frame is consumed exactly once (this
+        # broadcast build), derives from the ckpt'd dictionary, and the
+        # one-partition sort makes the ids deterministic on any
+        # recompute — a reliable_ckpt here was a pure extra job.
+        sid = (
             dict_df.coalesce(1).sortWithinPartitions("df", "s")
             .select("s",
                     F.monotonically_increasing_id().cast("int").alias("sid"))
